@@ -1,0 +1,239 @@
+"""Typed configuration tree for the TPU-native CILQR engine.
+
+The reference keeps all knobs as compile-time C++ structs
+(/root/reference/algorithm/params/planner_config.h:18-188 and
+ /root/reference/algorithm/params/vehicle_param.h:21-103). Here they are
+frozen dataclasses: hashable, so they can be closed over by ``jax.jit`` as
+static configuration, and overridable from YAML/CLI (see ``from_dict``).
+
+Default *values* replicate the reference exactly for parity (including the
+fields the reference declares but never reads, which are documented and
+dropped rather than carried along).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Tuple
+
+
+def _replace(obj, **kw):
+    return dataclasses.replace(obj, **kw)
+
+
+@dataclasses.dataclass(frozen=True)
+class VehicleParam:
+    """Vehicle geometry and actuator limits.
+
+    Reference: vehicle_param.h:26-74 (limits), :80-85 (derived disc geometry).
+    """
+
+    front_hang_length: float = 0.96
+    wheel_base: float = 1.0
+    rear_hang_length: float = 0.929
+    width: float = 1.942
+
+    max_velocity: float = 20.0
+    min_acceleration: float = -5.0
+    max_acceleration: float = 5.0
+    jerk_min: float = -10.0
+    jerk_max: float = 10.0
+    delta_min: float = -40.0 / 180.0 * math.pi
+    delta_max: float = 40.0 / 180.0 * math.pi
+    delta_rate_min: float = (-40.0 / 180.0 * math.pi) / 3.0
+    delta_rate_max: float = (40.0 / 180.0 * math.pi) / 3.0
+
+    @property
+    def length(self) -> float:
+        return self.wheel_base + self.rear_hang_length + self.front_hang_length
+
+    @property
+    def radius(self) -> float:
+        """Two-disc cover radius (vehicle_param.h:82)."""
+        return math.hypot(0.25 * self.length, 0.5 * self.width)
+
+    @property
+    def r2x(self) -> float:
+        return 0.25 * self.length - self.rear_hang_length
+
+    @property
+    def f2x(self) -> float:
+        return 0.75 * self.length - self.rear_hang_length
+
+    def disc_radius(self, num_of_disc: int) -> float:
+        """N-disc cover radius used by the CILQR barriers
+        (ilqr_optimizer.cc:97-104)."""
+        return math.hypot(self.width / 2.0, self.length / 2.0 / num_of_disc)
+
+
+@dataclasses.dataclass(frozen=True)
+class Weights:
+    """Tracking/comfort quadratic weights (planner_config.h:45-55)."""
+
+    jerk: float = 1.0
+    delta_rate: float = 1.0
+    x_target: float = 0.5
+    y_target: float = 0.5
+    theta: float = 1e-3
+    v: float = 0.0
+    a: float = 0.0
+    delta: float = 0.0
+
+
+@dataclasses.dataclass(frozen=True)
+class BarrierConfig:
+    """Relaxed-log barrier parameters.
+
+    The reference's RelaxBarrierFunction hardcodes t=5.0, eps=0.01
+    (barrier_function.h:143-145); the config-level t/t_rate fields are
+    declared but unused (planner_config.h:60-61), so they are not carried.
+    """
+
+    t: float = 5.0
+    epsilon: float = 0.01
+
+
+@dataclasses.dataclass(frozen=True)
+class LineSearchConfig:
+    """Fixed 11-point alpha schedule + acceptance window
+    (ilqr_optimizer.cc:188-197)."""
+
+    alphas: Tuple[float, ...] = (
+        1.0000, 0.5012, 0.2512, 0.1259, 0.0631,
+        0.0316, 0.0158, 0.0079, 0.0040, 0.0020, 0.0010,
+    )
+    beta_min: float = 1e-4
+    beta_max: float = 10.0
+
+
+@dataclasses.dataclass(frozen=True)
+class RegularizationConfig:
+    """Levenberg lambda schedule (ilqr_optimizer.cc:188-193)."""
+
+    ratio: float = 1.6
+    lambda_min: float = 1e-8
+    lambda_max: float = 1e11
+    gradient_norm_min: float = 1e-6
+    lambda_init: float = 1.0
+
+
+@dataclasses.dataclass(frozen=True)
+class IlqrConfig:
+    """CILQR solver knobs (planner_config.h:57-73 + hardcoded schedule at
+    ilqr_optimizer.cc:188-197)."""
+
+    num_of_disc: int = 5
+    safe_margin: float = 0.2
+    weights: Weights = Weights()
+    max_iter_num: int = 200
+    abs_cost_tol: float = 1e-2
+    rel_cost_tol: float = 1e-2
+    barrier: BarrierConfig = BarrierConfig()
+    line_search: LineSearchConfig = LineSearchConfig()
+    reg: RegularizationConfig = RegularizationConfig()
+    # 'analytic' replicates the reference's hand-derived midpoint Jacobians
+    # (vehicle_model.cc:44-86, including its v-vs-v_mid quirk); 'autodiff'
+    # uses jax.jacfwd of the RK2 step (exact).
+    jacobian_mode: str = "analytic"
+
+
+@dataclasses.dataclass(frozen=True)
+class CorridorConfig:
+    """Safe-corridor construction (planner_config.h:75-86)."""
+
+    max_diff_x: float = 25.0
+    max_diff_y: float = 25.0
+    radius: float = 150.0
+    max_axis_x: float = 10.0
+    max_axis_y: float = 10.0
+    lane_segment_length: float = 5.0
+    # Device-side static padding sizes (new; the reference uses dynamic
+    # std::vector sizes which cannot exist under XLA).
+    max_points: int = 64       # seed points per knot fed to the flip+hull
+    max_constraints: int = 24  # half-planes kept per knot
+    max_lane_segments: int = 64
+
+
+@dataclasses.dataclass(frozen=True)
+class DpConfig:
+    """Coarse spatio-temporal DP (dp_planner.h:27-29, planner_config.h:100-134)."""
+
+    nt: int = 5
+    ns: int = 7
+    nl: int = 10
+    nominal_velocity: float = 10.0
+    w_obstacle: float = 1000.0
+    w_lateral: float = 0.1
+    w_lateral_change: float = 0.5
+    w_lateral_velocity_change: float = 1.0
+    w_longitudinal_velocity_bias: float = 10.0
+    w_longitudinal_velocity_change: float = 1.0
+    # collision occupancy-grid acceleration (device mode); 'exact' brute
+    # force over all road-barrier points is used by parity tests.
+    collision_mode: str = "grid"
+    grid_cell: float = 0.1
+
+
+@dataclasses.dataclass(frozen=True)
+class TrackerConfig:
+    """LQR path/speed tracker used by the optional InitGuess path
+    (planner_config.h:18-43)."""
+
+    simulation_dt: float = 0.01
+    dt: float = 0.1
+    tolerance: float = 0.01
+    max_num_iteration: int = 150
+    lat_weight_l: float = 1e-1
+    lat_weight_theta: float = 1e-12
+    lat_weight_delta: float = 1e-12
+    lat_weight_delta_rate: float = 0.1
+    lat_preview_time: float = 0.2
+    lon_weight_s: float = 5.0e-1
+    lon_weight_v: float = 1e-12
+    lon_weight_a: float = 1e-12
+    lon_weight_j: float = 0.1
+
+
+@dataclasses.dataclass(frozen=True)
+class PlannerConfig:
+    """Top-level pipeline configuration (planner_config.h:88-188)."""
+
+    delta_t: float = 0.1
+    tf: float = 8.0
+    vehicle: VehicleParam = VehicleParam()
+    ilqr: IlqrConfig = IlqrConfig()
+    corridor: CorridorConfig = CorridorConfig()
+    dp: DpConfig = DpConfig()
+    tracker: TrackerConfig = TrackerConfig()
+
+    @property
+    def num_knots(self) -> int:
+        """81 for the default horizon (ilqr_optimizer.cc:22)."""
+        return int(math.floor(self.tf / self.delta_t + 1))
+
+    def replace(self, **kw) -> "PlannerConfig":
+        return _replace(self, **kw)
+
+
+def from_dict(d: dict[str, Any], base: PlannerConfig | None = None) -> PlannerConfig:
+    """Build a PlannerConfig from a (possibly nested) plain dict, e.g. parsed
+    from YAML/JSON; unknown keys raise."""
+    cfg = base or PlannerConfig()
+
+    def apply(obj, sub: dict[str, Any]):
+        kw = {}
+        for k, v in sub.items():
+            if not hasattr(obj, k):
+                raise KeyError(f"unknown config key {k!r} for {type(obj).__name__}")
+            cur = getattr(obj, k)
+            if dataclasses.is_dataclass(cur) and isinstance(v, dict):
+                kw[k] = apply(cur, v)
+            else:
+                kw[k] = v
+        return _replace(obj, **kw)
+
+    return apply(cfg, d)
+
+
+DEFAULT_CONFIG = PlannerConfig()

@@ -1,0 +1,285 @@
+"""Spatio-temporal DP coarse planner.
+
+TPU-native re-design of DpPlanner (/root/reference/algorithm/planner/
+dp_planner.{h,cpp}): the NT=5 x NS=7 x NL=10 grid search becomes, per layer
+transition, one fully vectorized [70 parents x 70 children x 16
+interpolation points] cost tensor (collision probes batched through
+world.py), followed by an argmin reduce that keeps parent indices. The
+per-0.1s interpolation to 81 Cartesian knots and the finite-difference
+profile replicate dp_planner.cpp:214-276.
+
+The DP is deliberately non-Markov exactly like the reference: a
+transition's cost depends on the parent cell's accumulated continuous
+station and on the *grandparent* through stored parent indices
+(dp_planner.cpp:39-54,87-103), so each layer update gathers from the two
+previous layers' winning cells.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .config import DpConfig, PlannerConfig
+from .reference_line import compute_path_profile, evaluate_station, get_cartesian, get_projection
+from .types import Scenario, Traj
+from .world import BarrierGrid, check_optimization_collision
+
+K_EPS_LOCAL = 1e-3   # dp_planner.cpp:29 (file-local kMathEpsilon)
+
+
+class DpResult(NamedTuple):
+    traj: Traj            # 81-knot coarse trajectory
+    ok: jnp.ndarray       # scalar bool: min_cost < w_obstacle
+    min_cost: jnp.ndarray
+
+
+def _lateral_offset(cl: Traj, s, l_ind, safe_margin, nl):
+    """GetLateralOffset (dp_planner.h:84-92): l_ind == NL-1 -> centerline;
+    else lb + (ub-lb) * linspace(0,1,NL-1)[l_ind]."""
+    ref = evaluate_station(cl, s)
+    lb = -ref.right_bound + safe_margin
+    ub = ref.left_bound - safe_margin
+    frac = l_ind.astype(s.dtype) / (nl - 2)
+    off = lb + (ub - lb) * frac
+    return jnp.where(l_ind == nl - 1, jnp.zeros_like(off), off)
+
+
+def _interp_sl(parent_s, parent_l, station, cur_l, nseg):
+    """InterpolateLinearly (dp_planner.cpp:283-320): nseg points from the
+    parent (exclusive of the child endpoint). Returns (s [nseg], l [nseg])."""
+    i = jnp.arange(nseg, dtype=parent_s.dtype)
+    s_step = station / nseg
+    l_step = (cur_l - parent_l) / nseg
+    s = parent_s[..., None] + i * s_step[..., None]
+    l = parent_l[..., None] + i * l_step[..., None]
+    return s, l
+
+
+def _segment_cost(cl: Traj, scn: Scenario, grid, cfg: PlannerConfig,
+                  s_pts, l_pts, last_s, last_l, t0, nseg, safe_margin):
+    """Collision/bounds sweep over one interpolated (s,l) segment
+    (GetCollisionCost, dp_planner.cpp:39-85). All arguments batched over
+    leading dims; s_pts/l_pts have a trailing [nseg] axis.
+
+    Returns the obstacle cost (0 or w_obstacle)."""
+    dp = cfg.dp
+    veh = cfg.vehicle
+
+    prev_s = jnp.concatenate([last_s[..., None], s_pts[..., :-1]], axis=-1)
+    prev_l = jnp.concatenate([last_l[..., None], l_pts[..., :-1]], axis=-1)
+    dl = l_pts - prev_l
+    ds = jnp.maximum(s_pts - prev_s, K_EPS_LOCAL)
+
+    cx, cy = get_cartesian(cl, s_pts, l_pts)
+    ref = evaluate_station(cl, s_pts)
+    lb = jnp.minimum(0.0, -ref.right_bound + safe_margin)
+    ub = jnp.maximum(0.0, ref.left_bound - safe_margin)
+    off_road = (l_pts < lb - K_EPS_LOCAL) | (l_pts > ub + K_EPS_LOCAL)
+
+    heading = ref.theta + jnp.arctan((dl / ds) / (1.0 - ref.kappa * l_pts))
+    unit_time = cfg.tf / dp.nt
+    i = jnp.arange(nseg, dtype=s_pts.dtype)
+    t = t0[..., None] + i * (unit_time / nseg)
+
+    collide = check_optimization_collision(
+        scn, t, cx, cy, heading, veh.radius, veh.r2x, veh.f2x,
+        collision_buffer=0.0, grid=grid, mode=dp.collision_mode)
+
+    any_bad = (off_road | collide).any(axis=-1)
+    return jnp.where(any_bad, dp.w_obstacle, 0.0)
+
+
+def plan(scn: Scenario, start_x, start_y, start_theta,
+         cfg: PlannerConfig, grid: BarrierGrid | None = None) -> DpResult:
+    """DpPlanner::Plan (dp_planner.cpp:135-281)."""
+    dp = cfg.dp
+    NT, NS, NL = dp.nt, dp.ns, dp.nl
+    cl = scn.centerline
+    dtype = cl.s.dtype
+    unit_time = cfg.tf / NT
+    times = unit_time + (cfg.tf - unit_time) * jnp.arange(NT, dtype=dtype) / (NT - 1)
+    station = (unit_time * cfg.vehicle.max_velocity) * jnp.arange(NS, dtype=dtype) / (NS - 1)
+    safe_margin = cfg.vehicle.width / 2 * 1.5  # dp_planner.cpp:36
+
+    s0, l0, _ = get_projection(cl, jnp.asarray(start_x, dtype),
+                               jnp.asarray(start_y, dtype))
+
+    l_inds = jnp.arange(NL)
+
+    def offsets(svals):
+        """[...,] stations -> [..., NL] lateral offsets."""
+        return jax.vmap(
+            lambda li: _lateral_offset(cl, svals, jnp.full(svals.shape, li), safe_margin, NL),
+            out_axes=-1)(l_inds)
+
+    # ---- first layer (dp_planner.cpp:153-159): parent = start pseudo-cell
+    nseg0 = 17  # dp_planner.cpp:288-292 with t_ind 0
+    cur_s_l0 = s0 + station                       # [NS]
+    cur_l_l0 = offsets(cur_s_l0)                  # [NS, NL]
+    ps = jnp.broadcast_to(s0, (NS, NL))
+    pl = jnp.broadcast_to(l0, (NS, NL))
+    s_pts, l_pts = _interp_sl(ps, pl, jnp.broadcast_to(station[:, None], (NS, NL)),
+                              cur_l_l0, nseg0)    # [NS, NL, 17]
+    obst0 = _segment_cost(cl, scn, grid, cfg, s_pts, l_pts,
+                          ps, pl, jnp.zeros((NS, NL), dtype), nseg0, safe_margin)
+
+    cur_l = cur_l_l0                               # [NS, NL]
+    ds1 = jnp.broadcast_to(station[:, None], (NS, NL))
+    dl1 = cur_l - l0
+    cost_lat = jnp.abs(cur_l)
+    cost_lat_chg = jnp.abs(l0 - cur_l) / (ds1 + K_EPS_LOCAL)
+    cost_lat_chg_t = jnp.abs(dl1 - 0.0) / unit_time
+    cost_v = jnp.abs(ds1 / unit_time - dp.nominal_velocity)
+    cost_v_chg = jnp.abs(ds1 - 0.0) / unit_time
+    delta0 = (dp.w_lateral * cost_lat + dp.w_lateral_change * cost_lat_chg +
+              dp.w_lateral_velocity_change * cost_lat_chg_t +
+              dp.w_longitudinal_velocity_bias * cost_v +
+              dp.w_longitudinal_velocity_change * cost_v_chg)
+    layer_cost = jnp.where(obst0 >= dp.w_obstacle, dp.w_obstacle, delta0)
+
+    # state per layer
+    costs = [layer_cost]                                  # [NS, NL]
+    cur_ss = [jnp.broadcast_to(cur_s_l0[:, None], (NS, NL))]
+    parent_s_inds = [jnp.full((NS, NL), -1, jnp.int32)]
+    parent_l_inds = [jnp.full((NS, NL), -1, jnp.int32)]
+
+    nseg = 16  # layers >= 1 (dp_planner.cpp:293-296)
+
+    for t in range(NT - 1):
+        # parents: layer t cells, flattened P = NS*NL
+        p_cost = costs[t].reshape(-1)                     # [P]
+        p_s = cur_ss[t].reshape(-1)                       # [P]
+        p_sind = parent_s_inds[t].reshape(-1)
+        p_lind = parent_l_inds[t].reshape(-1)
+        p_l_ind_self = jnp.tile(jnp.arange(NL), NS)       # cell's own l index
+        p_l = jax.vmap(lambda s, li: _lateral_offset(cl, s, li, safe_margin, NL))(
+            p_s, p_l_ind_self)
+
+        # grandparents (dp_planner.cpp:42-53,92-103)
+        if t == 0:
+            gp_s = jnp.broadcast_to(s0, p_s.shape)
+            gp_l = jnp.broadcast_to(l0, p_s.shape)
+            gp_lind = jnp.full(p_s.shape, -1, jnp.int32)
+        else:
+            prev_cur_s = cur_ss[t - 1]                    # [NS, NL]
+            gp_s = prev_cur_s[jnp.clip(p_sind, 0), jnp.clip(p_lind, 0)]
+            gp_l = jax.vmap(lambda s, li: _lateral_offset(cl, s, li, safe_margin, NL))(
+                gp_s, p_lind)
+            gp_lind = p_lind
+
+        # prev segment's last point (GetCollisionCost:51-53): interpolate
+        # grandparent -> parent and take the final sample. Layer-0 parents'
+        # segments have 17 samples (dp_planner.cpp:288-296).
+        p_own_sind = jnp.repeat(jnp.arange(NS), NL)
+        st = station[p_own_sind]
+        sp, lp = _interp_sl(gp_s, gp_l, st, p_l, 17 if t == 0 else nseg)
+        last_s = sp[..., -1]
+        last_l = lp[..., -1]
+
+        # children: all (m, n), flattened C = NS*NL (m-major)
+        P = NS * NL
+        Cn = NS * NL
+        c_station = jnp.repeat(station, NL)               # [C] station of child m
+        c_lind = jnp.tile(jnp.arange(NL), NS)             # [C] lateral index n
+        cur_s_c = p_s[:, None] + c_station[None, :]       # [P, C]
+        off_all = offsets(cur_s_c.reshape(-1))            # [P*C, NL]
+        cur_l_c = off_all[jnp.arange(P * Cn),
+                          jnp.tile(c_lind, P)].reshape(P, Cn)
+
+        # interpolated segments parent->child: [P, C, nseg]
+        st_pc = jnp.broadcast_to(c_station[None, :], (P, Cn))
+        sp2, lp2 = _interp_sl(jnp.broadcast_to(p_s[:, None], (P, Cn)),
+                              jnp.broadcast_to(p_l[:, None], (P, Cn)),
+                              st_pc, cur_l_c, nseg)
+        t0v = jnp.full((P, Cn), times[t], dtype)
+        obst = _segment_cost(cl, scn, grid, cfg, sp2, lp2,
+                             jnp.broadcast_to(last_s[:, None], (P, Cn)),
+                             jnp.broadcast_to(last_l[:, None], (P, Cn)),
+                             t0v, nseg, safe_margin)
+
+        ds1 = st_pc
+        dl1 = cur_l_c - p_l[:, None]
+        ds0 = p_s[:, None] - gp_s[:, None]
+        dl0 = p_l[:, None] - gp_l[:, None]
+        cost_lat = jnp.abs(cur_l_c)
+        cost_lat_chg = jnp.abs(p_l[:, None] - cur_l_c) / (st_pc + K_EPS_LOCAL)
+        cost_lat_chg_t = jnp.abs(dl1 - dl0) / unit_time
+        cost_v = jnp.abs(ds1 / unit_time - dp.nominal_velocity)
+        cost_v_chg = jnp.abs((ds1 - ds0) / unit_time)
+        delta = (dp.w_lateral * cost_lat + dp.w_lateral_change * cost_lat_chg +
+                 dp.w_lateral_velocity_change * cost_lat_chg_t +
+                 dp.w_longitudinal_velocity_bias * cost_v +
+                 dp.w_longitudinal_velocity_change * cost_v_chg)
+        delta = jnp.where(obst >= dp.w_obstacle, dp.w_obstacle, delta)
+
+        total = p_cost[:, None] + delta                   # [P, C]
+        best_p = jnp.argmin(total, axis=0)                # [C]
+        best_cost = jnp.take_along_axis(total, best_p[None, :], axis=0)[0]
+        new_cur_s = cur_s_c[best_p, jnp.arange(Cn)]
+        costs.append(best_cost.reshape(NS, NL))
+        cur_ss.append(new_cur_s.reshape(NS, NL))
+        parent_s_inds.append((best_p // NL).astype(jnp.int32).reshape(NS, NL))
+        parent_l_inds.append((best_p % NL).astype(jnp.int32).reshape(NS, NL))
+
+    # ---- trace back (dp_planner.cpp:184-206)
+    final = costs[NT - 1].reshape(-1)
+    best = jnp.argmin(final)
+    min_cost = final[best]
+
+    sel_s = [jnp.zeros((), jnp.int32)] * NT
+    sel_l = [jnp.zeros((), jnp.int32)] * NT
+    si = (best // NL).astype(jnp.int32)
+    li = (best % NL).astype(jnp.int32)
+    for i in range(NT - 1, -1, -1):
+        sel_s[i] = si
+        sel_l[i] = li
+        psi = parent_s_inds[i][si, li]
+        pli = parent_l_inds[i][si, li]
+        si, li = psi, pli
+
+    # ---- interpolate winning path to 81 knots (dp_planner.cpp:214-245)
+    all_s = []
+    all_l = []
+    for i in range(NT):
+        if i == 0:
+            p_s_i = s0
+            p_l_ind = jnp.int32(-1)
+            nseg_i = 17
+        else:
+            p_s_i = cur_ss[i - 1][sel_s[i - 1], sel_l[i - 1]]
+            p_l_ind = sel_l[i - 1]
+            nseg_i = 16
+        p_l_i = jnp.where(p_l_ind < 0, l0,
+                          _lateral_offset(cl, p_s_i, jnp.maximum(p_l_ind, 0),
+                                          safe_margin, NL))
+        st_i = station[sel_s[i]]
+        cur_s_i = p_s_i + st_i
+        cur_l_i = _lateral_offset(cl, cur_s_i, sel_l[i], safe_margin, NL)
+        sseg, lseg = _interp_sl(p_s_i, p_l_i, st_i, cur_l_i, nseg_i)
+        all_s.append(sseg)
+        all_l.append(lseg)
+    seg_s = jnp.concatenate(all_s)   # [81]
+    seg_l = jnp.concatenate(all_l)
+
+    prev_s = jnp.concatenate([jnp.asarray([s0.astype(dtype)]).reshape(1), seg_s[:-1]])
+    prev_l = jnp.concatenate([jnp.asarray([l0.astype(dtype)]).reshape(1), seg_l[:-1]])
+    dl = seg_l - prev_l
+    ds = jnp.maximum(seg_s - prev_s, K_EPS_LOCAL)
+    cx, cy = get_cartesian(cl, seg_s, seg_l)
+    ref = evaluate_station(cl, seg_s)
+    theta = ref.theta + jnp.arctan((dl / ds) / (1.0 - ref.kappa * seg_l))
+
+    # ---- profile (dp_planner.cpp:246-276)
+    _, _, speeds, accels, kappas = compute_path_profile(cfg.delta_t, cx, cy)
+    n = seg_s.shape[0]
+    t = cfg.delta_t * jnp.arange(n, dtype=dtype)
+    traj = Traj(
+        time=t, s=seg_s, x=cx, y=cy, theta=theta, kappa=kappas,
+        velocity=speeds, left_bound=ref.left_bound, right_bound=ref.right_bound,
+        a=accels, jerk=jnp.zeros_like(t),
+        delta=jnp.arctan(kappas * cfg.vehicle.wheel_base),
+        delta_rate=jnp.zeros_like(t))
+    return DpResult(traj=traj, ok=min_cost < dp.w_obstacle, min_cost=min_cost)

@@ -1,0 +1,222 @@
+"""Vectorized 2-D geometry primitives.
+
+The reference wraps these in classes (Vec2d/Box2d/Polygon2d/LineSegment2d
+under /root/reference/algorithm/math/). Here every primitive is a pure
+function over ``jnp`` arrays with a leading batch dimension where useful, so
+all of them vmap/jit cleanly and run on the VPU.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+TWO_PI = 2.0 * jnp.pi
+
+
+def normalize_angle(x):
+    """Wrap angle to [-pi, pi). Matches math_utils.cpp:53-59."""
+    return jnp.mod(x + jnp.pi, TWO_PI) - jnp.pi
+
+
+def slerp(a0, t0, a1, t1, t):
+    """Angle interpolation with wrap handling (math_utils.h:208-225)."""
+    a0n = normalize_angle(a0)
+    a1n = normalize_angle(a1)
+    d = a1n - a0n
+    d = jnp.where(d > jnp.pi, d - TWO_PI, d)
+    d = jnp.where(d < -jnp.pi, d + TWO_PI, d)
+    denom = t1 - t0
+    r = jnp.where(jnp.abs(denom) <= 1e-10, 0.0, (t - t0) / jnp.where(denom == 0, 1.0, denom))
+    return normalize_angle(a0n + d * r)
+
+
+def lerp(x0, t0, x1, t1, t):
+    denom = t1 - t0
+    r = jnp.where(jnp.abs(denom) <= 1e-6, 0.0, (t - t0) / jnp.where(denom == 0, 1.0, denom))
+    return x0 + r * (x1 - x0)
+
+
+def point_segment_distance(px, py, ax, ay, bx, by):
+    """Distance from point P to segment AB (line_segment2d.cpp semantics)."""
+    abx = bx - ax
+    aby = by - ay
+    apx = px - ax
+    apy = py - ay
+    ab2 = abx * abx + aby * aby
+    t = jnp.where(ab2 > 0, (apx * abx + apy * aby) / jnp.where(ab2 == 0, 1.0, ab2), 0.0)
+    t = jnp.clip(t, 0.0, 1.0)
+    cx = ax + t * abx
+    cy = ay + t * aby
+    return jnp.hypot(px - cx, py - cy)
+
+
+def rot(x, y, theta):
+    c = jnp.cos(theta)
+    s = jnp.sin(theta)
+    return c * x - s * y, s * x + c * y
+
+
+def box_corners(cx, cy, theta, length, width):
+    """Corners of an oriented box, CCW. Returns [..., 4, 2]."""
+    hl = length / 2.0
+    hw = width / 2.0
+    lx = jnp.stack([hl, -hl, -hl, hl], axis=-1)
+    ly = jnp.stack([hw, hw, -hw, -hw], axis=-1)
+    c = jnp.cos(theta)[..., None]
+    s = jnp.sin(theta)[..., None]
+    px = cx[..., None] + c * lx - s * ly
+    py = cy[..., None] + s * lx + c * ly
+    return jnp.stack([px, py], axis=-1)
+
+
+def _project_interval(pts, axis):
+    """pts [..., K, 2], axis [..., 2] -> (min, max) of dot products."""
+    d = jnp.einsum("...kc,...c->...k", pts, axis)
+    return d.min(axis=-1), d.max(axis=-1)
+
+
+def convex_overlap_aabb(poly, poly_mask, minx, miny, maxx, maxy):
+    """SAT overlap of a convex polygon (padded [K,2] + mask [K]) with an
+    axis-aligned box. Replicates Polygon2d::HasOverlap(Box2d) semantics for
+    the DP collision sweep (environment.cpp:46-112) for convex inputs.
+
+    Invalid polygon (mask all false) -> no overlap.
+    """
+    valid = poly_mask.astype(poly.dtype)[..., None]
+    # Replace invalid vertices with the first valid vertex so they never
+    # extend the projection intervals.
+    first = jnp.take_along_axis(poly, jnp.argmax(poly_mask, axis=-1)[..., None, None].repeat(2, -1), axis=-2)
+    pts = jnp.where(valid > 0, poly, first)
+
+    # Box axes: x and y.
+    px = pts[..., 0]
+    py = pts[..., 1]
+    sep_x = (px.max(axis=-1) < minx) | (px.min(axis=-1) > maxx)
+    sep_y = (py.max(axis=-1) < miny) | (py.min(axis=-1) > maxy)
+
+    # Polygon edge normals.
+    nxt = jnp.roll(pts, -1, axis=-2)
+    # Edges from padded duplicates are zero-length; their normals are (0,0)
+    # and produce degenerate (equal) projections that never separate.
+    ex = nxt[..., 0] - px
+    ey = nxt[..., 1] - py
+    # normal = (ey, -ex)
+    corners = jnp.stack(
+        [jnp.stack([minx, miny], -1), jnp.stack([minx, maxy], -1),
+         jnp.stack([maxx, miny], -1), jnp.stack([maxx, maxy], -1)], axis=-2)
+    # project both shapes on each edge normal n=(ey,-ex): dot(p,n)=px*ey-py*ex
+    pn = px[..., None, :] * ey[..., :, None] + py[..., None, :] * (-ex[..., :, None])
+    bn = corners[..., None, :, 0] * ey[..., :, None] + corners[..., None, :, 1] * (-ex[..., :, None])
+    # pn, bn: [..., K(normal), K(vertex)] / [..., K(normal), 4]
+    deg = (jnp.abs(ex) + jnp.abs(ey)) <= 0
+    pmin = pn.min(axis=-1)
+    pmax = pn.max(axis=-1)
+    bmin = bn.min(axis=-1)
+    bmax = bn.max(axis=-1)
+    sep_edge = ((pmax < bmin) | (pmin > bmax)) & ~deg
+    any_valid = poly_mask.any(axis=-1)
+    return any_valid & ~(sep_x | sep_y | sep_edge.any(axis=-1))
+
+
+def points_in_aabb_count(px, py, minx, miny, maxx, maxy, mask):
+    """Count of masked points inside the closed axis-aligned box.
+
+    Mirrors the road-barrier membership test Box2d::IsPointIn used at
+    environment.cpp:74-78 (with theta=0 boxes from CheckOptimizationCollision).
+    """
+    inside = (px >= minx) & (px <= maxx) & (py >= miny) & (py <= maxy) & mask
+    return inside.sum(axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Masked convex hull (Andrew's monotone chain over padded point sets)
+# ---------------------------------------------------------------------------
+
+def _cross(ox, oy, ax, ay, bx, by):
+    return (ax - ox) * (by - oy) - (ay - oy) * (bx - ox)
+
+
+def convex_hull_masked(pts, mask, eps: float = 0.0):
+    """Convex hull of a padded point set.
+
+    pts:  [K, 2] float array, mask: [K] bool. Returns (hull_pts [K,2],
+    hull_mask [K], count) with hull vertices in counter-clockwise order
+    starting from the lexicographically smallest point. Collinear boundary
+    points are dropped (strict turns only), matching cv::convexHull's
+    default output of extreme vertices (corridor.cc:184,218).
+
+    Pure fixed-shape implementation: sort + two fori_loop stack passes, so it
+    vmaps across knots/scenarios into fully vectorized lane-parallel code.
+    """
+    K = pts.shape[0]
+    big = jnp.asarray(1e30, pts.dtype)
+    x = jnp.where(mask, pts[:, 0], big)
+    y = jnp.where(mask, pts[:, 1], big)
+    # lexicographic sort by (x, y): combine via stable double argsort
+    order = jnp.lexsort((y, x))
+    sx = x[order]
+    sy = y[order]
+    m = mask.sum()
+
+    def half_hull(px, py, n):
+        """Build one hull chain over points 0..n-1 in given order."""
+        stack_x = jnp.zeros((K,), pts.dtype)
+        stack_y = jnp.zeros((K,), pts.dtype)
+
+        def body(i, carry):
+            sxs, sys, top = carry
+            cx = px[i]
+            cy = py[i]
+
+            def pop_cond(c):
+                _, _, t = c
+                keep = t >= 2
+                cr = _cross(sxs_at(c, t - 2), sys_at(c, t - 2), sxs_at(c, t - 1), sys_at(c, t - 1), cx, cy)
+                return keep & (cr <= eps)
+
+            def sxs_at(c, j):
+                return c[0][jnp.clip(j, 0, K - 1)]
+
+            def sys_at(c, j):
+                return c[1][jnp.clip(j, 0, K - 1)]
+
+            def pop_body(c):
+                a, b, t = c
+                return a, b, t - 1
+
+            sxs, sys, top = jax.lax.while_loop(pop_cond, pop_body, (sxs, sys, top))
+            sxs = sxs.at[jnp.clip(top, 0, K - 1)].set(cx)
+            sys = sys.at[jnp.clip(top, 0, K - 1)].set(cy)
+            active = i < n
+            sxs = jnp.where(active, sxs, carry[0])
+            sys = jnp.where(active, sys, carry[1])
+            top = jnp.where(active, top + 1, carry[2])
+            return sxs, sys, top
+
+        sxs, sys, top = jax.lax.fori_loop(0, K, body, (stack_x, stack_y, jnp.int32(0)))
+        return sxs, sys, top
+
+    # lower hull: left-to-right; upper hull: right-to-left
+    lx, ly, ln = half_hull(sx, sy, m)
+    rx_, ry_ = sx[::-1], sy[::-1]
+    # reversed array has the (K - m) padded points first; shift them out
+    shift = K - m
+    rx_ = jnp.roll(rx_, -shift)
+    ry_ = jnp.roll(ry_, -shift)
+    ux, uy, un = half_hull(rx_, ry_, m)
+
+    # concatenate lower[0:ln-1] + upper[0:un-1]
+    total = jnp.maximum(ln - 1, 1) + jnp.maximum(un - 1, 0)
+    idx = jnp.arange(K)
+    take_lower = idx < jnp.maximum(ln - 1, 1)
+    uidx = jnp.clip(idx - jnp.maximum(ln - 1, 1), 0, K - 1)
+    hx = jnp.where(take_lower, lx[jnp.clip(idx, 0, K - 1)], ux[uidx])
+    hy = jnp.where(take_lower, ly[jnp.clip(idx, 0, K - 1)], uy[uidx])
+    count = jnp.where(m >= 2, total, m)
+    # single-point / degenerate handling: if m == 1, hull = that point
+    hx = jnp.where(m >= 1, hx, 0.0)
+    hy = jnp.where(m >= 1, hy, 0.0)
+    hmask = idx < count
+    hull = jnp.stack([jnp.where(hmask, hx, 0.0), jnp.where(hmask, hy, 0.0)], axis=-1)
+    return hull, hmask, count

@@ -1,0 +1,141 @@
+"""Reference-line / trajectory query engine.
+
+TPU-native replacement for DiscretizedTrajectory's binary-search +
+interpolation queries (/root/reference/algorithm/utils/
+discretized_trajectory.cpp:34-196): ``jnp.searchsorted`` + gathers, all
+vmap-able over query batches.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .geometry import normalize_angle, slerp
+from .types import Traj
+
+
+def _interp_fields(traj: Traj, i0, i1, key_arr, key):
+    """Linear interpolation of all fields between knots i0 and i1 at ``key``
+    along ``key_arr`` (LinearInterpolateTrajectory,
+    discretized_trajectory.cpp:66-110)."""
+    k0 = key_arr[i0]
+    k1 = key_arr[i1]
+    denom = k1 - k0
+    near = jnp.abs(denom) < 1e-10
+    w = jnp.where(near, 0.0, (key - k0) / jnp.where(near, 1.0, denom))
+
+    def lin(f):
+        return (1 - w) * f[i0] + w * f[i1]
+
+    return Traj(
+        time=lin(traj.time),
+        s=lin(traj.s),
+        x=lin(traj.x),
+        y=lin(traj.y),
+        theta=slerp(traj.theta[i0], k0, traj.theta[i1], k1,
+                    jnp.where(near, k0, key)),
+        kappa=lin(traj.kappa),
+        velocity=lin(traj.velocity),
+        left_bound=lin(traj.left_bound),
+        right_bound=lin(traj.right_bound),
+        a=lin(traj.a),
+        jerk=lin(traj.jerk),
+        delta=lin(traj.delta),
+        delta_rate=lin(traj.delta_rate),
+    )
+
+
+def evaluate_station(traj: Traj, station):
+    """EvaluateStation (discretized_trajectory.cpp:112-123). ``station`` may
+    be any shape; fields broadcast accordingly."""
+    idx = jnp.searchsorted(traj.s, station, side="left")
+    idx = jnp.clip(idx, 1, traj.s.shape[-1] - 1)
+    # interpolate with key = s but replicate the exact-lower-bound weight:
+    return _interp_fields(traj, idx - 1, idx, traj.s, station)
+
+
+def evaluate_time(traj: Traj, time):
+    """EvaluateTime (discretized_trajectory.cpp:125-136)."""
+    idx = jnp.searchsorted(traj.time, time, side="left")
+    idx = jnp.clip(idx, 1, traj.time.shape[-1] - 1)
+    return _interp_fields(traj, idx - 1, idx, traj.time, time)
+
+
+def get_projection(traj: Traj, px, py):
+    """GetProjection (discretized_trajectory.cpp:159-190): nearest knot,
+    then chord projection over [i-1, i+1]. Returns (s, l, project_point)."""
+    d2 = (traj.x - px[..., None]) ** 2 + (traj.y - py[..., None]) ** 2
+    i = jnp.argmin(d2, axis=-1)
+    n = traj.x.shape[-1]
+    i0 = jnp.maximum(0, i - 1)
+    i1 = jnp.minimum(n - 1, i + 1)
+
+    v0x = px - traj.x[i0]
+    v0y = py - traj.y[i0]
+    v1x = traj.x[i1] - traj.x[i0]
+    v1y = traj.y[i1] - traj.y[i0]
+    v1n = jnp.sqrt(v1x * v1x + v1y * v1y)
+    dot = v0x * v1x + v0y * v1y
+    delta_s = jnp.where(v1n > 0, dot / jnp.where(v1n == 0, 1.0, v1n), 0.0)
+
+    has_seg = i0 < i1
+    proj_seg = _interp_fields(traj, i0, i1, traj.s, traj.s[i0] + delta_s)
+    proj_knot = _interp_fields(traj, i, i, traj.s, traj.s[i])
+
+    def pick(a, b):
+        return jnp.where(has_seg, a, b)
+
+    proj = Traj(**{f: pick(getattr(proj_seg, f), getattr(proj_knot, f))
+                   for f in ("time", "s", "x", "y", "theta", "kappa",
+                             "velocity", "left_bound", "right_bound", "a",
+                             "jerk", "delta", "delta_rate")})
+
+    nrx = px - proj.x
+    nry = py - proj.y
+    lateral = jnp.copysign(jnp.hypot(nrx, nry),
+                           nry * jnp.cos(proj.theta) - nrx * jnp.sin(proj.theta))
+    return proj.s, lateral, proj
+
+
+def get_cartesian(traj: Traj, station, lateral):
+    """GetCartesian (discretized_trajectory.cpp:192-196)."""
+    ref = evaluate_station(traj, station)
+    return (ref.x - lateral * jnp.sin(ref.theta),
+            ref.y + lateral * jnp.cos(ref.theta))
+
+
+def compute_path_profile(dt, xs, ys):
+    """Finite-difference path profile from xy points: headings, accumulated
+    s, speeds, accelerations, kappas (DiscretePointsMath::ComputePathProfile,
+    discrete_points_math.cc:27-176)."""
+    def central_diff(v):
+        d0 = v[1] - v[0]
+        dn = v[-1] - v[-2]
+        dm = 0.5 * (v[2:] - v[:-2])
+        return jnp.concatenate([d0[None], dm, dn[None]])
+
+    dxs = central_diff(xs)
+    dys = central_diff(ys)
+    headings = jnp.arctan2(dys, dxs)
+
+    seg = jnp.sqrt(jnp.diff(xs) ** 2 + jnp.diff(ys) ** 2)
+    s = jnp.concatenate([jnp.zeros((1,), xs.dtype), jnp.cumsum(seg)])
+
+    speeds = jnp.diff(s) / dt
+    speeds = jnp.concatenate([speeds, speeds[-1:]])
+    accels = jnp.diff(speeds) / dt
+    accels = jnp.concatenate([accels, accels[-1:]])
+
+    def diff_over(v, svals):
+        d0 = (v[1] - v[0]) / (svals[1] - svals[0])
+        dn = (v[-1] - v[-2]) / (svals[-1] - svals[-2])
+        dm = (v[2:] - v[:-2]) / (svals[2:] - svals[:-2])
+        return jnp.concatenate([d0[None], dm, dn[None]])
+
+    xds = diff_over(xs, s)
+    yds = diff_over(ys, s)
+    xdds = diff_over(xds, s)
+    ydds = diff_over(yds, s)
+    kappas = (xds * ydds - yds * xdds) / (
+        jnp.sqrt(xds * xds + yds * yds) * (xds * xds + yds * yds) + 1e-6)
+    return headings, s, speeds, accels, kappas

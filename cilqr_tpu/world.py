@@ -1,0 +1,168 @@
+"""World-model collision and obstacle queries.
+
+TPU-native replacement for the Environment class
+(/root/reference/algorithm/utils/environment.cpp): all queries are pure
+functions over Scenario tensors, vectorized over arbitrary query batches.
+
+Road-barrier membership has two modes:
+  * ``exact`` — brute-force point-in-box over all barrier points, the exact
+    semantics of CheckStaticCollision's sorted-x window scan
+    (environment.cpp:46-81). Used by parity tests.
+  * ``grid``  — a 2-D prefix-sum (integral image) over a 0.1 m occupancy
+    grid of the barrier points: each box query is 4 gathers. Counting is
+    conservative (boundary cells round outward), which can only flag extra
+    collisions within one cell of the boundary. Default on device.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .geometry import convex_overlap_aabb
+from .types import Scenario
+
+K_MATH_EPS = 1e-10
+
+
+class BarrierGrid(NamedTuple):
+    """Integral image of barrier-point counts. integral[i, j] = number of
+    points with cell_y < i and cell_x < j."""
+
+    integral: jnp.ndarray  # [H+1, W+1] int32
+    origin: jnp.ndarray    # [2]
+    cell: float
+
+
+def build_barrier_grid(barrier_xy: np.ndarray, cell: float = 0.1,
+                       pad: float = 2.0) -> BarrierGrid:
+    """Host-side grid build (once per road; the road is shared across a
+    scenario batch)."""
+    pts = np.asarray(barrier_xy)
+    lo = pts.min(axis=0) - pad
+    hi = pts.max(axis=0) + pad
+    W = int(np.ceil((hi[0] - lo[0]) / cell)) + 1
+    H = int(np.ceil((hi[1] - lo[1]) / cell)) + 1
+    ij = np.floor((pts - lo) / cell).astype(np.int64)
+    grid = np.zeros((H, W), np.int32)
+    np.add.at(grid, (ij[:, 1], ij[:, 0]), 1)
+    integral = np.zeros((H + 1, W + 1), np.int32)
+    integral[1:, 1:] = grid.cumsum(0).cumsum(1)
+    return BarrierGrid(integral=jnp.asarray(integral),
+                       origin=jnp.asarray(lo), cell=cell)
+
+
+def barrier_points_in_box_grid(grid: BarrierGrid, minx, miny, maxx, maxy):
+    """Conservative count of barrier points in the closed box via the
+    integral image."""
+    H = grid.integral.shape[0] - 1
+    W = grid.integral.shape[1] - 1
+    i0 = jnp.clip(jnp.floor((miny - grid.origin[1]) / grid.cell).astype(jnp.int32), 0, H)
+    i1 = jnp.clip(jnp.floor((maxy - grid.origin[1]) / grid.cell).astype(jnp.int32) + 1, 0, H)
+    j0 = jnp.clip(jnp.floor((minx - grid.origin[0]) / grid.cell).astype(jnp.int32), 0, W)
+    j1 = jnp.clip(jnp.floor((maxx - grid.origin[0]) / grid.cell).astype(jnp.int32) + 1, 0, W)
+    I = grid.integral
+    return (I[i1, j1] - I[i0, j1] - I[i1, j0] + I[i0, j0])
+
+
+def barrier_points_in_box_exact(barrier_xy, barrier_mask, minx, miny, maxx, maxy):
+    """Exact point-in-closed-box count (environment.cpp:74-78 semantics)."""
+    px = barrier_xy[..., 0]
+    py = barrier_xy[..., 1]
+    inside = ((px >= minx[..., None]) & (px <= maxx[..., None]) &
+              (py >= miny[..., None]) & (py <= maxy[..., None]) & barrier_mask)
+    return inside.sum(axis=-1)
+
+
+def static_obstacle_overlap(scn: Scenario, minx, miny, maxx, maxy):
+    """Any static obstacle polygon overlapping the axis-aligned box
+    (environment.cpp:46-52). Query coords may be any batch shape [...]."""
+    def one(poly, valid):
+        hit = convex_overlap_aabb(poly, jnp.ones((poly.shape[0],), bool),
+                                  minx, miny, maxx, maxy)
+        return hit & valid
+
+    hits = jax.vmap(one, in_axes=(0, 0), out_axes=-1)(
+        scn.static_obs, scn.static_mask)
+    return hits.any(axis=-1)
+
+
+def _dyn_polygon_at(scn: Scenario, k, time, eps=0.0):
+    """Polygon of dynamic obstacle k at query time: the first sample with
+    timestamp > time - eps (upper_bound semantics; eps=0 matches
+    CheckDynamicCollision env.cpp:114-131, eps=kMathEpsilon matches
+    QueryDynamicObstacles :133-151). Returns (corners [4,2], active)."""
+    times = scn.dyn_times[k]
+    L = scn.dyn_len[k]
+    idx = jnp.searchsorted(times, time - eps, side="right")
+    idx = jnp.clip(idx, 0, L - 1)
+    active = (scn.dyn_mask[k] & (times[0] <= time + eps) &
+              (times[jnp.maximum(L - 1, 0)] >= time - eps))
+    return scn.dyn_obs[k, idx], active
+
+
+def dynamic_obstacle_overlap(scn: Scenario, time, minx, miny, maxx, maxy):
+    """CheckDynamicCollision (environment.cpp:114-131) over all dynamic
+    obstacles. time/box coords: any matching batch shape."""
+    KD = scn.dyn_obs.shape[0]
+
+    def one(k):
+        poly, active = _dyn_polygon_at(scn, k, time, eps=0.0)
+        hit = convex_overlap_aabb(poly, jnp.ones((4,), bool),
+                                  minx, miny, maxx, maxy)
+        return hit & active
+
+    hits = jax.vmap(one, out_axes=-1)(jnp.arange(KD))
+    return hits.any(axis=-1)
+
+
+def check_optimization_collision(scn: Scenario, time, x, y, theta,
+                                 veh_radius, r2x, f2x,
+                                 collision_buffer=0.0,
+                                 grid: BarrierGrid | None = None,
+                                 mode: str = "grid"):
+    """Two-disc collision probe (Environment::CheckOptimizationCollision,
+    environment.cpp:92-112): axis-aligned boxes of half-size radius+buffer
+    at the front/rear disc centers, tested against static polygons, road
+    barrier points, and dynamic obstacles."""
+    half = veh_radius + collision_buffer
+    ct = jnp.cos(theta)
+    st = jnp.sin(theta)
+    xr = x + r2x * ct
+    yr = y + r2x * st
+    xf = x + f2x * ct
+    yf = y + f2x * st
+
+    def box_hit(cx, cy):
+        minx, maxx = cx - half, cx + half
+        miny, maxy = cy - half, cy + half
+        hit = static_obstacle_overlap(scn, minx, miny, maxx, maxy)
+        if mode == "grid":
+            assert grid is not None
+            cnt = barrier_points_in_box_grid(grid, minx, miny, maxx, maxy)
+        else:
+            cnt = barrier_points_in_box_exact(scn.barrier_xy, scn.barrier_mask,
+                                              minx, miny, maxx, maxy)
+        hit = hit | (cnt > 0)
+        hit = hit | dynamic_obstacle_overlap(scn, time, minx, miny, maxx, maxy)
+        return hit
+
+    return box_hit(xf, yf) | box_hit(xr, yr)
+
+
+def query_dynamic_points(scn: Scenario, time):
+    """Corner points of dynamic obstacles active at ``time`` — the corridor
+    seed query (Environment::QueryDynamicObstaclesPoints,
+    environment.cpp:167-182 via QueryDynamicObstacles :133-151).
+    Returns (points [KD*4, 2], mask [KD*4])."""
+    KD = scn.dyn_obs.shape[0]
+
+    def one(k):
+        poly, active = _dyn_polygon_at(scn, k, time, eps=K_MATH_EPS)
+        return poly, jnp.repeat(active, 4)
+
+    polys, masks = jax.vmap(one)(jnp.arange(KD))
+    return polys.reshape(KD * 4, 2), masks.reshape(KD * 4)

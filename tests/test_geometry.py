@@ -1,0 +1,109 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cilqr_tpu import geometry as G
+
+
+def test_normalize_angle_matches_reference_semantics():
+    # math_utils.cpp:53-59: fmod(angle+pi, 2pi), +2pi if negative, -pi
+    xs = np.linspace(-20, 20, 1001)
+    ref = np.mod(xs + np.pi, 2 * np.pi) - np.pi
+    got = np.asarray(G.normalize_angle(jnp.asarray(xs)))
+    np.testing.assert_allclose(got, ref, atol=1e-12)
+    assert np.all(got >= -np.pi) and np.all(got < np.pi)
+
+
+def test_slerp_wraps_shortest_path():
+    a = G.slerp(jnp.asarray(3.0), 0.0, jnp.asarray(-3.0), 1.0, 0.5)
+    # shortest path from 3 rad to -3 rad crosses pi
+    assert abs(float(a)) > 3.0 or abs(abs(float(a)) - np.pi) < 0.3
+
+
+def test_point_segment_distance():
+    d = G.point_segment_distance(0.0, 1.0, -1.0, 0.0, 1.0, 0.0)
+    assert float(d) == pytest.approx(1.0)
+    # beyond endpoint
+    d = G.point_segment_distance(2.0, 1.0, -1.0, 0.0, 1.0, 0.0)
+    assert float(d) == pytest.approx(np.sqrt(2.0))
+
+
+def test_box_corners():
+    c = G.box_corners(jnp.asarray(1.0), jnp.asarray(2.0), jnp.asarray(0.0),
+                      jnp.asarray(4.0), jnp.asarray(2.0))
+    assert c.shape == (4, 2)
+    np.testing.assert_allclose(np.asarray(c),
+                               [[3, 3], [-1, 3], [-1, 1], [3, 1]], atol=1e-12)
+
+
+def test_convex_overlap_aabb():
+    # unit square polygon at origin vs boxes
+    poly = jnp.asarray([[0, 0], [1, 0], [1, 1], [0, 1.0]])
+    mask = jnp.ones((4,), bool)
+    hit = G.convex_overlap_aabb(poly, mask, jnp.asarray(0.5), jnp.asarray(0.5),
+                                jnp.asarray(2.0), jnp.asarray(2.0))
+    assert bool(hit)
+    miss = G.convex_overlap_aabb(poly, mask, jnp.asarray(1.5), jnp.asarray(1.5),
+                                 jnp.asarray(2.0), jnp.asarray(2.0))
+    assert not bool(miss)
+    # rotated diamond separating-axis case: close but not overlapping
+    diamond = jnp.asarray([[2.2, 1.0], [3.2, 2.0], [2.2, 3.0], [1.2, 2.0]])
+    miss2 = G.convex_overlap_aabb(diamond, mask, jnp.asarray(0.0), jnp.asarray(0.0),
+                                  jnp.asarray(1.5), jnp.asarray(1.0))
+    assert not bool(miss2)
+    hit2 = G.convex_overlap_aabb(diamond, mask, jnp.asarray(0.0), jnp.asarray(0.0),
+                                 jnp.asarray(1.8), jnp.asarray(1.8))
+    assert bool(hit2)
+    # masked-out polygon never overlaps
+    none = G.convex_overlap_aabb(poly, jnp.zeros((4,), bool), jnp.asarray(0.0),
+                                 jnp.asarray(0.0), jnp.asarray(2.0), jnp.asarray(2.0))
+    assert not bool(none)
+
+
+def _hull_scipy(pts):
+    from scipy.spatial import ConvexHull
+
+    h = ConvexHull(pts)
+    return pts[h.vertices]  # CCW
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_convex_hull_masked_random(seed):
+    rng = np.random.default_rng(seed)
+    K = 32
+    n = rng.integers(5, K)
+    pts = rng.normal(size=(n, 2)) * 10
+    pad = np.zeros((K - n, 2))
+    full = np.concatenate([pts, pad])
+    mask = np.arange(K) < n
+    hull, hmask, count = G.convex_hull_masked(jnp.asarray(full), jnp.asarray(mask))
+    got = np.asarray(hull)[np.asarray(hmask)]
+    want = _hull_scipy(pts)
+    assert int(count) == len(want)
+    # same vertex set (rotation of order allowed); compare as sets
+    got_sorted = got[np.lexsort((got[:, 1], got[:, 0]))]
+    want_sorted = want[np.lexsort((want[:, 1], want[:, 0]))]
+    np.testing.assert_allclose(got_sorted, want_sorted, atol=1e-9)
+
+
+def test_convex_hull_masked_is_ccw():
+    rng = np.random.default_rng(42)
+    pts = rng.normal(size=(20, 2))
+    K = 32
+    full = np.concatenate([pts, np.zeros((K - 20, 2))])
+    mask = np.arange(K) < 20
+    hull, hmask, count = G.convex_hull_masked(jnp.asarray(full), jnp.asarray(mask))
+    h = np.asarray(hull)[: int(count)]
+    # shoelace must be positive for CCW
+    x, y = h[:, 0], h[:, 1]
+    area = 0.5 * np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y)
+    assert area > 0
+
+
+def test_convex_hull_duplicates():
+    pts = np.array([[0, 0], [1, 0], [1, 1], [0, 1], [0, 0], [1, 0], [0.5, 0.5]])
+    K = 16
+    full = np.concatenate([pts, np.zeros((K - len(pts), 2))])
+    mask = np.arange(K) < len(pts)
+    hull, hmask, count = G.convex_hull_masked(jnp.asarray(full), jnp.asarray(mask))
+    assert int(count) == 4
