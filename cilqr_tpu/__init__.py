@@ -5,9 +5,21 @@ C++/ROS/Eigen reference planner mpt0816/Cilqr (see SURVEY.md): DP coarse
 search -> convex safe corridors -> LQR init guess -> barrier-CILQR solve,
 expressed as pure fixed-shape functions that batch via vmap and shard over
 device meshes via shard_map/pjit.
+
+Module map (bottom-up):
+  geometry, reference_line, lqr       — math core
+  types, config                       — data model + typed config tree
+  world, scenario                     — environment tensors + generator
+  model, barriers, costs              — dynamics + cost stack
+  solver, tracker, dp, corridor       — the planners
+  pipeline, batch, dist, mpc          — orchestration & scaling
+  viz, metrics, checkpoint, profiling — observability & IO
+  native                              — C++ oracle (parity/baseline)
 """
 
-from . import barriers, config, costs, geometry, model, reference_line, solver, types
+from . import (barriers, batch, checkpoint, config, corridor, costs, dist,
+               dp, geometry, lqr, model, mpc, pipeline, profiling,
+               reference_line, scenario, solver, tracker, types, viz, world)
 from .config import DEFAULT_CONFIG, PlannerConfig
 from .types import SolverStatus
 

@@ -150,7 +150,7 @@ class CorridorConfig:
     lane_segment_length: float = 5.0
     # Device-side static padding sizes (new; the reference uses dynamic
     # std::vector sizes which cannot exist under XLA).
-    max_points: int = 64       # seed points per knot fed to the flip+hull
+    max_points: int = 96       # seed points per knot fed to the flip+hull
     max_constraints: int = 24  # half-planes kept per knot
     max_lane_segments: int = 64
 

@@ -1,0 +1,274 @@
+"""Convex safe-corridor construction (sphere-flip + double convex hull).
+
+TPU-native re-design of Corridor (/root/reference/algorithm/ilqr/
+corridor.{h,cc}): per-knot seed points are gathered into fixed-K masked
+buffers, the sphere flip is elementwise, and the reference's three
+cv::convexHull calls become masked monotone-chain hulls (geometry.py) that
+vmap across all 81 knots (and scenario batches) at once.
+
+Pipeline per knot (BuildCorridor, corridor.cc:122-263):
+  seeds -> filter (|dx|,|dy| <= 25, norm > 0) -> flip p' = p(2R/|p| - 1)
+  -> hull1 of {flipped points, origin} -> map hull vertices back to
+  original coords (origin-vertex interior-point fix) -> hull2 ->
+  per-seed half-planes with hull2 edge normals -> dual points -> dual hull
+  -> polygon vertices -> final half-planes a x + b y <= c.
+
+Deviations from the reference (documented, not copied):
+  * the reference's safe_radius keeps the norm of the *last* point below
+    R (corridor.cc:166-169), not the min — replicated;
+  * the reference's (OriginIndex - 1) % size underflows for OriginIndex=0
+    (C++ negative modulo, corridor.cc:203) — we use positive modulo;
+  * cv::convexHull outputs extreme vertices only; ours likewise drops
+    collinear boundary points.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .config import CorridorConfig
+from .geometry import convex_hull_masked
+from .types import CorridorSet, Scenario, Traj
+from .world import query_dynamic_points
+
+
+def _box_sample_points(x, y, theta, cfg: CorridorConfig, dtype):
+    """AddCorridorPoints (corridor.cc:89-120): 4 corners of a +-max_axis box
+    around the pose, each edge sampled at ratio {0, 1} -> 8 points (each
+    corner twice)."""
+    ch = jnp.cos(theta)
+    sh = jnp.sin(theta)
+    dx1 = ch * cfg.max_axis_x
+    dy1 = sh * cfg.max_axis_x
+    dx2 = sh * cfg.max_axis_y
+    dy2 = -ch * cfg.max_axis_y
+    cx = jnp.stack([x + dx1 + dx2, x + dx1 - dx2, x - dx1 - dx2, x - dx1 + dx2])
+    cy = jnp.stack([y + dy1 + dy2, y + dy1 - dy2, y - dy1 - dy2, y - dy1 + dy2])
+    nxt = jnp.roll(jnp.stack([cx, cy], axis=-1), -1, axis=0)
+    cur = jnp.stack([cx, cy], axis=-1)
+    pts = jnp.stack([cur, nxt], axis=1).reshape(8, 2)  # ratio 0 then 1 per edge
+    return pts
+
+
+def corridor_seed_points(scn: Scenario, x, y, theta, time,
+                         cfg: CorridorConfig, max_points: int):
+    """Seed set per knot: static corners + dynamic corners at knot time +
+    box samples (BuildCorridorConstraints, corridor.cc:56-87)."""
+    dtype = scn.static_obs.dtype
+    st_pts = scn.static_obs.reshape(-1, 2)
+    st_mask = jnp.repeat(scn.static_mask, 4)
+    dyn_pts, dyn_mask = query_dynamic_points(scn, time)
+    box_pts = _box_sample_points(x, y, theta, cfg, dtype)
+    pts = jnp.concatenate([st_pts, dyn_pts, box_pts], axis=0)
+    mask = jnp.concatenate([st_mask, dyn_mask,
+                            jnp.ones((8,), bool)], axis=0)
+    K = pts.shape[0]
+    if K > max_points:
+        raise ValueError(f"corridor max_points={max_points} < seeds {K}")
+    pad = max_points - K
+    pts = jnp.concatenate([pts, jnp.zeros((pad, 2), dtype)], axis=0)
+    mask = jnp.concatenate([mask, jnp.zeros((pad,), bool)], axis=0)
+    return pts, mask
+
+
+def build_corridor(origin_x, origin_y, pts, mask, cfg: CorridorConfig,
+                   max_constraints: int):
+    """One knot's corridor (BuildCorridor, corridor.cc:122-263).
+
+    Returns (planes [KC,3], plane_mask [KC], polygon [KC,2], poly_mask [KC],
+    ok)."""
+    dtype = pts.dtype
+    K = pts.shape[0]
+    R = cfg.radius
+
+    dx = pts[:, 0] - origin_x
+    dy = pts[:, 1] - origin_y
+    norm = jnp.hypot(dx, dy)
+    valid = (mask & (jnp.abs(dx) <= cfg.max_diff_x) &
+             (jnp.abs(dy) <= cfg.max_diff_y) & (norm >= 1e-10))
+
+    # safe_radius: norm of the LAST valid point with norm < R (corridor.cc:166-169)
+    below = valid & (norm < R)
+    rev_pos = jnp.where(below, jnp.arange(K), -1)
+    last = jnp.argmax(rev_pos)
+    safe_radius = jnp.where(below.any(), norm[last], R)
+
+    # sphere flip (corridor.cc:173-174); origin appended at index K
+    scale = jnp.where(valid, 2.0 * R / jnp.where(norm > 0, norm, 1.0) - 1.0, 0.0)
+    fx = dx * scale
+    fy = dy * scale
+    flip = jnp.stack([jnp.concatenate([fx, jnp.zeros((1,), dtype)]),
+                      jnp.concatenate([fy, jnp.zeros((1,), dtype)])], axis=-1)
+    flip_mask = jnp.concatenate([valid, jnp.ones((1,), bool)])
+    n_valid = valid.sum()
+    ok = n_valid >= 4  # corridor.cc:178-181
+
+    # hull 1 (flipped space) -> map back via indices
+    _, h1_mask, h1_count, h1_idx = convex_hull_masked(flip, flip_mask,
+                                                      return_indices=True)
+    H = K + 1
+    is_origin = (h1_idx == K) & h1_mask
+    vx = jnp.where(is_origin, origin_x, pts[jnp.clip(h1_idx, 0, K - 1), 0])
+    vy = jnp.where(is_origin, origin_y, pts[jnp.clip(h1_idx, 0, K - 1), 1])
+    vx = jnp.where(h1_mask, vx, 0.0)
+    vy = jnp.where(h1_mask, vy, 0.0)
+
+    # interior point (corridor.cc:200-215)
+    origin_on_hull = is_origin.any()
+    opos = jnp.argmax(is_origin)
+    prev = jnp.mod(opos - 1, h1_count)
+    nxt = jnp.mod(opos + 1, h1_count)
+    ix = (vx[prev] + origin_x + vx[nxt]) / 3.0 - origin_x
+    iy = (vy[prev] + origin_y + vy[nxt]) / 3.0 - origin_y
+    d = jnp.sqrt(ix * ix + iy * iy)
+    d = jnp.where(d > 0, d, 1.0)
+    interior_x = jnp.where(origin_on_hull,
+                           0.99 * safe_radius * ix / d + origin_x, origin_x)
+    interior_y = jnp.where(origin_on_hull,
+                           0.99 * safe_radius * iy / d + origin_y, origin_y)
+
+    # hull 2 over the mapped-back vertices (corridor.cc:217-218)
+    vpts = jnp.stack([vx, vy], axis=-1)
+    _, h2_mask, h2_count, h2_idx = convex_hull_masked(vpts, h1_mask,
+                                                      return_indices=True)
+    # h2_idx are positions in hull-1 order; sort ascending = the reference's
+    # incrementing walk order (corridor.cc:221-233)
+    h2_pos = jnp.where(h2_mask, h2_idx, jnp.int32(H + 1))
+    q = jnp.sort(h2_pos)  # valid positions first, ascending
+
+    # edge normals between consecutive hull-2 vertices (in walk order)
+    qn = jnp.concatenate([q[1:], q[:1]])
+    qn = jnp.where(jnp.arange(H) == h2_count - 1, q[0], qn)  # wrap last -> first
+    ax = vx[jnp.clip(q, 0, H - 1)]
+    ay = vy[jnp.clip(q, 0, H - 1)]
+    bx = vx[jnp.clip(qn, 0, H - 1)]
+    by = vy[jnp.clip(qn, 0, H - 1)]
+    rayx = bx - ax
+    rayy = by - ay
+    nlen = jnp.hypot(rayy, rayx)
+    nlen = jnp.where(nlen > 0, nlen, 1.0)
+    nx_e = rayy / nlen   # outward normal for CCW hull (corridor.cc:224-225)
+    ny_e = -rayx / nlen
+
+    # assign each hull-1 vertex position k to the covering hull-2 edge:
+    # j = last q <= k (cyclic; k < q[0] wraps to the last edge)
+    kpos = jnp.arange(H)
+    j = jnp.searchsorted(q[: ], kpos, side="right") - 1
+    j = jnp.where(j < 0, h2_count - 1, jnp.minimum(j, h2_count - 1))
+    na = nx_e[j]
+    nb = ny_e[j]
+    cc = (vx - interior_x) * na + (vy - interior_y) * nb  # offsets (interior-rel)
+    cons_mask = h1_mask
+
+    # dual points (corridor.cc:235-239)
+    cc_safe = jnp.where(jnp.abs(cc) > 1e-12, cc, 1e-12)
+    dpx = jnp.where(cons_mask, na / cc_safe, 0.0)
+    dpy = jnp.where(cons_mask, nb / cc_safe, 0.0)
+    dual = jnp.stack([dpx, dpy], axis=-1)
+
+    # dual hull, clockwise (corridor.cc:241-242): CCW hull reversed
+    dh, dh_mask, dh_count = convex_hull_masked(dual, cons_mask)
+    # reverse valid prefix to clockwise order
+    ridx = jnp.mod(dh_count - 1 - jnp.arange(H), jnp.maximum(dh_count, 1))
+    dhx = jnp.where(dh_mask, dh[jnp.clip(ridx, 0, H - 1), 0], 0.0)
+    dhy = jnp.where(dh_mask, dh[jnp.clip(ridx, 0, H - 1), 1], 0.0)
+
+    # polygon vertices (corridor.cc:244-249)
+    nxt_i = jnp.where(jnp.arange(H) == dh_count - 1, 0, jnp.arange(H) + 1)
+    rx2 = dhx[nxt_i] - dhx
+    ry2 = dhy[nxt_i] - dhy
+    cpoly = ry2 * dhx - rx2 * dhy
+    cpoly_safe = jnp.where(jnp.abs(cpoly) > 1e-12, cpoly, 1e-12)
+    px = interior_x + ry2 / cpoly_safe
+    py = interior_y - rx2 / cpoly_safe
+    poly_mask = dh_mask
+
+    # final constraints from polygon edges (corridor.cc:251-261)
+    nxt_p = jnp.where(jnp.arange(H) == dh_count - 1, 0, jnp.arange(H) + 1)
+    rpx = px[nxt_p] - px
+    rpy = py[nxt_p] - py
+    a_f = -rpy
+    b_f = rpx
+    c_f = a_f * px + b_f * py
+    planes = jnp.stack([a_f, b_f, c_f], axis=-1)
+
+    KC = max_constraints
+    take = jnp.arange(KC)
+    planes_out = jnp.where((take < dh_count)[:, None],
+                           planes[jnp.clip(take, 0, H - 1)], 0.0)
+    pmask_out = take < dh_count
+    poly_out = jnp.where((take < dh_count)[:, None],
+                         jnp.stack([px, py], -1)[jnp.clip(take, 0, H - 1)], 0.0)
+    return planes_out, pmask_out, poly_out, pmask_out, ok
+
+
+def lane_boundary_sample(points: np.ndarray, segment_length: float):
+    """LaneBoundarySample (corridor.cc:307-320): host-side greedy resampling
+    of the barrier polyline every ~segment_length meters."""
+    pts = np.asarray(points)
+    kept = [pts[0]]
+    last = pts[0]
+    for p in pts:
+        if np.hypot(p[0] - last[0], p[1] - last[1]) >= segment_length - 1e-10:
+            kept.append(p)
+            last = p
+    return np.asarray(kept)
+
+
+def lane_constraints(left_barrier: np.ndarray, right_barrier: np.ndarray,
+                     cfg: CorridorConfig, dtype=np.float64):
+    """CalLeft/RightLaneConstraints (corridor.cc:265-305): half-planes +
+    generating segments, padded to cfg.max_lane_segments.
+
+    Left segments run reversed (corridor.cc:279-280) so the inward side
+    satisfies a x + b y <= c; right segments run forward (:300-301)."""
+    S = cfg.max_lane_segments
+
+    def build(boundary, reverse):
+        sampled = lane_boundary_sample(boundary, cfg.lane_segment_length)
+        n = len(sampled) - 1
+        if n > S:
+            raise ValueError(f"max_lane_segments={S} < needed {n}")
+        planes = np.zeros((S, 3), dtype)
+        segs = np.zeros((S, 2, 2), dtype)
+        mask = np.zeros((S,), bool)
+        for i in range(1, len(sampled)):
+            if reverse:
+                s_pt, e_pt = sampled[i], sampled[i - 1]
+            else:
+                s_pt, e_pt = sampled[i - 1], sampled[i]
+            nvec = e_pt - s_pt
+            a, b = nvec[1], -nvec[0]
+            c = a * s_pt[0] + b * s_pt[1]
+            planes[i - 1] = (a, b, c)
+            segs[i - 1] = (s_pt, e_pt)
+            mask[i - 1] = True
+        return planes, segs, mask
+
+    lp, lsg, lm = build(left_barrier, True)
+    rp, rsg, rm = build(right_barrier, False)
+    return lp, lsg, lm, rp, rsg, rm
+
+
+def plan_corridors(scn: Scenario, traj: Traj, cfg: CorridorConfig,
+                   lane: tuple) -> CorridorSet:
+    """Corridor::Plan (corridor.cc:17-54): per-knot corridors (vmapped over
+    the horizon) + lane constraints (host-precomputed per road, passed in as
+    the ``lane`` tuple from lane_constraints())."""
+    lp, lsg, lm, rp, rsg, rm = lane
+
+    def one(x, y, theta, time):
+        pts, mask = corridor_seed_points(scn, x, y, theta, time, cfg,
+                                         cfg.max_points)
+        return build_corridor(x, y, pts, mask, cfg, cfg.max_constraints)
+
+    planes, pmask, polys, polymask, ok = jax.vmap(one)(
+        traj.x, traj.y, traj.theta, traj.time)
+    return CorridorSet(
+        planes=planes, plane_mask=pmask, polygons=polys, poly_mask=polymask,
+        left_planes=jnp.asarray(lp), left_segs=jnp.asarray(lsg),
+        left_mask=jnp.asarray(lm),
+        right_planes=jnp.asarray(rp), right_segs=jnp.asarray(rsg),
+        right_mask=jnp.asarray(rm), ok=ok)

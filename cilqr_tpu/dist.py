@@ -1,0 +1,99 @@
+"""Multi-chip / multi-host execution: mesh, sharded solves, collectives.
+
+The reference has no parallelism at all (SURVEY.md §2: single thread,
+single process). This layer is new, TPU-first design: scenario batches are
+sharded over a 1-D device mesh (``batch`` axis); each device solves its
+shard independently (solves are embarrassingly parallel) and convergence /
+benchmark statistics are reduced with ``psum`` over ICI — the only
+cross-chip communication the workload needs (SURVEY.md §5).
+
+Multi-host (BASELINE configs 4-5): call ``init_distributed()`` once per
+process, then the same mesh code spans all hosts' devices; use
+host_local_array_to_global_array for per-host inputs.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from . import solver as solver_mod
+from .batch import device_metrics, solve_batch
+from .config import PlannerConfig
+
+
+def init_distributed(coordinator: str | None = None, num_processes: int | None = None,
+                     process_id: int | None = None):
+    """jax.distributed.initialize wrapper (no-op when single-process)."""
+    if num_processes is None or num_processes <= 1:
+        return
+    jax.distributed.initialize(coordinator_address=coordinator,
+                               num_processes=num_processes,
+                               process_id=process_id)
+
+
+def make_batch_mesh(devices: Sequence[jax.Device] | None = None) -> Mesh:
+    """1-D mesh over all (local or global) devices; axis name 'batch'."""
+    devs = np.asarray(devices if devices is not None else jax.devices())
+    return Mesh(devs, ("batch",))
+
+
+def shard_batch(mesh: Mesh, tree):
+    """Place a host batch pytree onto the mesh, sharded on axis 0."""
+    sharding = NamedSharding(mesh, P("batch"))
+    return jax.tree.map(lambda a: jax.device_put(a, sharding), tree)
+
+
+def sharded_solve_step(cfg: PlannerConfig, mesh: Mesh):
+    """Build the sharded batched-solve step (the 'training step' analog):
+    per-device vmapped CILQR solves + psum-reduced convergence stats over
+    the mesh via shard_map.
+
+    Returns a jitted fn (goals [B,N,6], starts [B,6], cons pytree [B,...])
+    -> (SolveResult sharded over batch, global stats dict of scalars).
+    """
+    ilqr = cfg.ilqr
+    veh = cfg.vehicle
+    dt = cfg.delta_t
+    spec = P("batch")
+
+    def _local(goals, starts, cons):
+        res = solve_batch(goals, starts, cons, ilqr, veh, dt)
+        stats = device_metrics(res)
+        # ICI collective: global sums across the mesh
+        stats = {k: jax.lax.psum(v, "batch") for k, v in stats.items()}
+        return res, stats
+
+    fn = jax.shard_map(_local, mesh=mesh, in_specs=(spec, spec, spec),
+                       out_specs=(spec, P()), check_vma=False)
+    return jax.jit(fn)
+
+
+def sharded_pipeline_step(cfg: PlannerConfig, mesh: Mesh, grid, lane):
+    """Full-pipeline sharded step: DP -> corridor -> solve per scenario,
+    scenario batch sharded over the mesh; psum stats. grid/lane are
+    replicated (same road for the whole fleet)."""
+    from . import pipeline as pipeline_mod
+
+    spec = P("batch")
+
+    def _local(scns, starts):
+        def one(scn, start):
+            return pipeline_mod.plan(
+                scn, (start[0], start[1], start[2], start[3]), cfg, grid,
+                lane)
+
+        out = jax.vmap(one)(scns, starts)
+        stats = device_metrics(out.solve)
+        stats["dp_ok"] = out.dp_ok.sum().astype(jnp.float32)
+        stats = {k: jax.lax.psum(v, "batch") for k, v in stats.items()}
+        return out, stats
+
+    fn = jax.shard_map(_local, mesh=mesh, in_specs=(spec, spec),
+                       out_specs=(spec, P()), check_vma=False)
+    return jax.jit(fn)

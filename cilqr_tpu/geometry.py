@@ -83,6 +83,7 @@ def convex_overlap_aabb(poly, poly_mask, minx, miny, maxx, maxy):
 
     Invalid polygon (mask all false) -> no overlap.
     """
+    poly_mask = jnp.broadcast_to(poly_mask, poly.shape[:-1])
     valid = poly_mask.astype(poly.dtype)[..., None]
     # Replace invalid vertices with the first valid vertex so they never
     # extend the projection intervals.
@@ -137,11 +138,12 @@ def _cross(ox, oy, ax, ay, bx, by):
     return (ax - ox) * (by - oy) - (ay - oy) * (bx - ox)
 
 
-def convex_hull_masked(pts, mask, eps: float = 0.0):
+def convex_hull_masked(pts, mask, eps: float = 0.0, return_indices: bool = False):
     """Convex hull of a padded point set.
 
     pts:  [K, 2] float array, mask: [K] bool. Returns (hull_pts [K,2],
-    hull_mask [K], count) with hull vertices in counter-clockwise order
+    hull_mask [K], count) — plus hull indices into ``pts`` when
+    ``return_indices`` — with hull vertices in counter-clockwise order
     starting from the lexicographically smallest point. Collinear boundary
     points are dropped (strict turns only), matching cv::convexHull's
     default output of extreme vertices (corridor.cc:184,218).
@@ -159,64 +161,71 @@ def convex_hull_masked(pts, mask, eps: float = 0.0):
     sy = y[order]
     m = mask.sum()
 
-    def half_hull(px, py, n):
+    def half_hull(px, py, pidx, n):
         """Build one hull chain over points 0..n-1 in given order."""
         stack_x = jnp.zeros((K,), pts.dtype)
         stack_y = jnp.zeros((K,), pts.dtype)
+        stack_i = jnp.zeros((K,), jnp.int32)
 
         def body(i, carry):
-            sxs, sys, top = carry
+            sxs, sys, sis, top = carry
             cx = px[i]
             cy = py[i]
+            ci = pidx[i]
 
             def pop_cond(c):
-                _, _, t = c
+                sxs_, sys_, _, t = c
                 keep = t >= 2
-                cr = _cross(sxs_at(c, t - 2), sys_at(c, t - 2), sxs_at(c, t - 1), sys_at(c, t - 1), cx, cy)
+                a = jnp.clip(t - 2, 0, K - 1)
+                b = jnp.clip(t - 1, 0, K - 1)
+                cr = _cross(sxs_[a], sys_[a], sxs_[b], sys_[b], cx, cy)
                 return keep & (cr <= eps)
 
-            def sxs_at(c, j):
-                return c[0][jnp.clip(j, 0, K - 1)]
-
-            def sys_at(c, j):
-                return c[1][jnp.clip(j, 0, K - 1)]
-
             def pop_body(c):
-                a, b, t = c
-                return a, b, t - 1
+                a, b, si, t = c
+                return a, b, si, t - 1
 
-            sxs, sys, top = jax.lax.while_loop(pop_cond, pop_body, (sxs, sys, top))
-            sxs = sxs.at[jnp.clip(top, 0, K - 1)].set(cx)
-            sys = sys.at[jnp.clip(top, 0, K - 1)].set(cy)
+            sxs, sys, sis, top = jax.lax.while_loop(pop_cond, pop_body,
+                                                    (sxs, sys, sis, top))
+            slot = jnp.clip(top, 0, K - 1)
+            sxs = sxs.at[slot].set(cx)
+            sys = sys.at[slot].set(cy)
+            sis = sis.at[slot].set(ci)
             active = i < n
             sxs = jnp.where(active, sxs, carry[0])
             sys = jnp.where(active, sys, carry[1])
-            top = jnp.where(active, top + 1, carry[2])
-            return sxs, sys, top
+            sis = jnp.where(active, sis, carry[2])
+            top = jnp.where(active, top + 1, carry[3])
+            return sxs, sys, sis, top
 
-        sxs, sys, top = jax.lax.fori_loop(0, K, body, (stack_x, stack_y, jnp.int32(0)))
-        return sxs, sys, top
+        return jax.lax.fori_loop(0, K, body, (stack_x, stack_y, stack_i,
+                                              jnp.int32(0)))
 
     # lower hull: left-to-right; upper hull: right-to-left
-    lx, ly, ln = half_hull(sx, sy, m)
-    rx_, ry_ = sx[::-1], sy[::-1]
+    oidx = order.astype(jnp.int32)
+    lx, ly, li, ln = half_hull(sx, sy, oidx, m)
     # reversed array has the (K - m) padded points first; shift them out
     shift = K - m
-    rx_ = jnp.roll(rx_, -shift)
-    ry_ = jnp.roll(ry_, -shift)
-    ux, uy, un = half_hull(rx_, ry_, m)
+    rx_ = jnp.roll(sx[::-1], -shift)
+    ry_ = jnp.roll(sy[::-1], -shift)
+    ri_ = jnp.roll(oidx[::-1], -shift)
+    ux, uy, ui, un = half_hull(rx_, ry_, ri_, m)
 
     # concatenate lower[0:ln-1] + upper[0:un-1]
     total = jnp.maximum(ln - 1, 1) + jnp.maximum(un - 1, 0)
     idx = jnp.arange(K)
     take_lower = idx < jnp.maximum(ln - 1, 1)
     uidx = jnp.clip(idx - jnp.maximum(ln - 1, 1), 0, K - 1)
-    hx = jnp.where(take_lower, lx[jnp.clip(idx, 0, K - 1)], ux[uidx])
-    hy = jnp.where(take_lower, ly[jnp.clip(idx, 0, K - 1)], uy[uidx])
+    cidx = jnp.clip(idx, 0, K - 1)
+    hx = jnp.where(take_lower, lx[cidx], ux[uidx])
+    hy = jnp.where(take_lower, ly[cidx], uy[uidx])
+    hi = jnp.where(take_lower, li[cidx], ui[uidx])
     count = jnp.where(m >= 2, total, m)
     # single-point / degenerate handling: if m == 1, hull = that point
     hx = jnp.where(m >= 1, hx, 0.0)
     hy = jnp.where(m >= 1, hy, 0.0)
     hmask = idx < count
     hull = jnp.stack([jnp.where(hmask, hx, 0.0), jnp.where(hmask, hy, 0.0)], axis=-1)
+    if return_indices:
+        return hull, hmask, count, jnp.where(hmask, hi, 0)
     return hull, hmask, count

@@ -1,0 +1,106 @@
+"""Full planning pipeline: DP coarse search -> safe corridors -> CILQR.
+
+Replaces TrajectoryPlanner (/root/reference/algorithm/planner/
+trajectory_planner.{h,cpp}) with a thin functional driver around jitted
+stages. The returned PlanOutput mirrors everything the reference exposes
+(coarse trajectory, corridors + polygons, lane boundaries, init guess,
+optimized trajectory + per-stage success flags).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import corridor as corridor_mod
+from . import costs as costs_mod
+from . import dp as dp_mod
+from . import solver as solver_mod
+from .config import PlannerConfig
+from .types import CorridorSet, Scenario, SolveResult, Traj
+from .world import BarrierGrid, build_barrier_grid
+
+
+class PlanOutput(NamedTuple):
+    coarse: Traj
+    dp_ok: jnp.ndarray
+    corridors: CorridorSet
+    solve: SolveResult
+    ok: jnp.ndarray  # dp_ok & all corridor knots ok
+
+
+def coarse_to_states(traj: Traj) -> jnp.ndarray:
+    """Coarse trajectory -> [N, 6] goal states (TransformGoals input,
+    ilqr_optimizer.cc:147-149)."""
+    return jnp.stack([traj.x, traj.y, traj.theta, traj.velocity, traj.a,
+                      traj.delta], axis=-1)
+
+
+def traj_from_solution(xs, us, dt, wheel_base) -> Traj:
+    """TransformToTrajectory + final resampling (ilqr_optimizer.cc:771-791,
+    trajectory_planner.cpp:100-125): kappa = tan(delta)/L, accumulated s."""
+    n = xs.shape[0]
+    t = dt * jnp.arange(n, dtype=xs.dtype)
+    seg = jnp.hypot(jnp.diff(xs[:, 0]), jnp.diff(xs[:, 1]))
+    s = jnp.concatenate([jnp.zeros((1,), xs.dtype), jnp.cumsum(seg)])
+    us_full = jnp.concatenate([us, jnp.zeros((1, 2), us.dtype)], axis=0)
+    return Traj(
+        time=t, s=s, x=xs[:, 0], y=xs[:, 1], theta=xs[:, 2],
+        kappa=jnp.tan(xs[:, 5]) / wheel_base, velocity=xs[:, 3],
+        left_bound=jnp.zeros_like(t), right_bound=jnp.zeros_like(t),
+        a=xs[:, 4], jerk=us_full[:, 0], delta=xs[:, 5],
+        delta_rate=us_full[:, 1])
+
+
+def make_lane_tuple(scn_left_barrier, scn_right_barrier, cfg: PlannerConfig,
+                    dtype=np.float64):
+    """Host-side lane-constraint precompute (per road, shared across the
+    batch)."""
+    return corridor_mod.lane_constraints(
+        np.asarray(scn_left_barrier), np.asarray(scn_right_barrier),
+        cfg.corridor, dtype)
+
+
+def plan(scn: Scenario, start, cfg: PlannerConfig,
+         grid: BarrierGrid | None = None, lane=None) -> PlanOutput:
+    """TrajectoryPlanner::Plan (trajectory_planner.cpp:28-162).
+
+    start: (x, y, theta, v) — the reference's fixed StartState is
+    (0, 0, 0, 10) (planning_node.cc:24-27). grid/lane are host-precomputed
+    per road; built on the fly if omitted (not jit-compatible then).
+    """
+    if grid is None and cfg.dp.collision_mode == "grid":
+        grid = build_barrier_grid(np.asarray(scn.barrier_xy), cfg.dp.grid_cell)
+    if lane is None:
+        lane = make_lane_tuple(scn.left_barrier_xy, scn.right_barrier_xy, cfg)
+
+    sx, sy, sth, sv = start
+    dp_res = dp_mod.plan(scn, sx, sy, sth, cfg, grid)
+    cors = corridor_mod.plan_corridors(scn, dp_res.traj, cfg.corridor, lane)
+
+    cons = costs_mod.shrink_and_normalize(
+        cors.planes, cors.plane_mask,
+        cors.left_planes, cors.left_segs, cors.left_mask,
+        cors.right_planes, cors.right_segs, cors.right_mask,
+        cfg.ilqr, cfg.vehicle)
+
+    goals = coarse_to_states(dp_res.traj)
+    dtype = goals.dtype
+    start_state = jnp.asarray([sx, sy, sth, sv, 0.0, 0.0], dtype)
+    res = solver_mod.solve(goals, start_state, cons, cfg.ilqr, cfg.vehicle,
+                           cfg.delta_t)
+    ok = dp_res.ok & cors.ok.all()
+    return PlanOutput(coarse=dp_res.traj, dp_ok=dp_res.ok, corridors=cors,
+                      solve=res, ok=ok)
+
+
+def plan_jit(cfg: PlannerConfig):
+    """A jit-compiled planner closure over static config. grid/lane must be
+    passed explicitly (device arrays / pytrees)."""
+    def _plan(scn, start, grid, lane):
+        return plan(scn, start, cfg, grid, lane)
+
+    return jax.jit(_plan)

@@ -247,11 +247,14 @@ def make_scenario(seed: int, road=DEFAULT_ROAD, n_static=N_STATIC,
         barriers = build_road_barriers(cl)
     both, left, right = barriers
 
-    sv = sample_static_vehicles(rng, cl, n_static)
-    pt, pc, pl = sample_pedestrians(rng, cl, n_ped)
-    vt, vc, vl = sample_dynamic_vehicles(rng, cl, n_dyn_veh)
+    empty_dyn = (np.zeros((0, 1)), np.zeros((0, 1, 4, 2)),
+                 np.zeros((0,), np.int32))
+    sv = (sample_static_vehicles(rng, cl, n_static) if n_static
+          else np.zeros((0, 4, 2)))
+    pt, pc, pl = (sample_pedestrians(rng, cl, n_ped) if n_ped else empty_dyn)
+    vt, vc, vl = (sample_dynamic_vehicles(rng, cl, n_dyn_veh) if n_dyn_veh
+                  else empty_dyn)
 
-    n_dyn = n_ped + n_dyn_veh
     dyn_times = np.zeros((MAX_DYNAMIC, MAX_DYN_SAMPLES))
     dyn_obs = np.zeros((MAX_DYNAMIC, MAX_DYN_SAMPLES, 4, 2))
     dyn_len = np.zeros((MAX_DYNAMIC,), np.int32)

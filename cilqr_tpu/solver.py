@@ -165,18 +165,24 @@ class _Carry(NamedTuple):
 
 
 def solve(coarse_xs, start_state, cons: ConstraintSet,
-          cfg: IlqrConfig, veh: VehicleParam, dt) -> SolveResult:
+          cfg: IlqrConfig, veh: VehicleParam, dt,
+          warm_start=None) -> SolveResult:
     """One full CILQR solve (IlqrOptimizer::Optimize,
     ilqr_optimizer.cc:154-320). All inputs are arrays; cfg/veh/dt static.
 
     coarse_xs: [N,6] coarse trajectory states (goals);
     start_state: [6] (x, y, theta, v, *, *);
-    cons: pre-shrunk+normalized constraints (costs.shrink_and_normalize).
+    cons: pre-shrunk+normalized constraints (costs.shrink_and_normalize);
+    warm_start: optional (xs [N,6], us [T,2]) initial trajectory (MPC
+    re-solves) replacing the LQR init guess.
     """
     dtype = coarse_xs.dtype
     goals = transform_goals(coarse_xs, start_state)
 
-    xs0, us0 = iqr_init(goals, cfg, veh, dt)
+    if warm_start is None:
+        xs0, us0 = iqr_init(goals, cfg, veh, dt)
+    else:
+        xs0, us0 = warm_start
     cost0 = total_cost(xs0, us0, goals, cons, cfg, veh)
 
     reg = cfg.reg

@@ -1,0 +1,109 @@
+"""Visualization: matplotlib replacements for the reference's RViz layers
+and figure dashboards (/root/reference/algorithm/visualization/
+figure_plot.h, plot.h).
+
+All functions draw onto a provided or new matplotlib Axes/Figure and return
+the Figure; call fig.savefig(...) to export (no blocking plt.show windows,
+unlike the vendored matplotlibcpp)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _mpl():
+    import matplotlib
+
+    matplotlib.use("Agg", force=False)
+    import matplotlib.pyplot as plt
+
+    return plt
+
+
+def plot_scenario(scn, out=None, fig=None, ax=None):
+    """Road bounds, static obstacles, dynamic obstacle first frames — the
+    Environment::Visualize analog (environment.cpp:184-215); optionally
+    overlays a PlanOutput (coarse red / init yellow / optimized green,
+    matching the reference's RViz colors, README.md:57-59)."""
+    plt = _mpl()
+    if ax is None:
+        fig, ax = plt.subplots(figsize=(12, 9))
+    lb = np.asarray(scn.left_barrier_xy)
+    rb = np.asarray(scn.right_barrier_xy)
+    ax.plot(lb[:, 0], lb[:, 1], color="0.6", lw=1)
+    ax.plot(rb[:, 0], rb[:, 1], color="0.6", lw=1)
+    for poly, ok in zip(np.asarray(scn.static_obs), np.asarray(scn.static_mask)):
+        if ok:
+            ax.fill(poly[:, 0], poly[:, 1], color="m", alpha=0.6)
+    for k, ok in enumerate(np.asarray(scn.dyn_mask)):
+        if ok:
+            poly = np.asarray(scn.dyn_obs)[k, 0]
+            ax.fill(poly[:, 0], poly[:, 1], color="c", alpha=0.35)
+    if out is not None:
+        ax.plot(np.asarray(out.coarse.x), np.asarray(out.coarse.y), "r-",
+                lw=1.5, label="coarse (DP)")
+        ax.plot(np.asarray(out.solve.init_xs)[:, 0],
+                np.asarray(out.solve.init_xs)[:, 1], "y-", lw=1.5,
+                label="init guess (LQR)")
+        ax.plot(np.asarray(out.solve.xs)[:, 0],
+                np.asarray(out.solve.xs)[:, 1], "g-", lw=2,
+                label="optimized (CILQR)")
+        ax.legend(loc="best")
+    ax.set_aspect("equal")
+    ax.set_xlabel("x [m]")
+    ax.set_ylabel("y [m]")
+    return ax.figure
+
+
+def plot_corridors(cors, ax, every=5):
+    """Corridor polygons (PlotConvexPolygon analog)."""
+    polys = np.asarray(cors.polygons)
+    masks = np.asarray(cors.poly_mask)
+    for i in range(0, polys.shape[0], every):
+        p = polys[i][masks[i]]
+        if len(p) >= 3:
+            ax.fill(p[:, 0], p[:, 1], facecolor="none", edgecolor="c",
+                    lw=0.7, alpha=0.8)
+    return ax.figure
+
+
+def plot_states_dashboard(traj, veh, fig=None):
+    """7-subplot state/control-vs-limits dashboard
+    (FigurePlot::Plot, figure_plot.h:24-130)."""
+    plt = _mpl()
+    t = np.asarray(traj.time)
+    panels = [
+        ("v [m/s]", np.asarray(traj.velocity), (0.0, veh.max_velocity)),
+        ("a [m/s^2]", np.asarray(traj.a),
+         (veh.min_acceleration, veh.max_acceleration)),
+        ("jerk [m/s^3]", np.asarray(traj.jerk), (veh.jerk_min, veh.jerk_max)),
+        ("delta [rad]", np.asarray(traj.delta), (veh.delta_min, veh.delta_max)),
+        ("delta_rate [rad/s]", np.asarray(traj.delta_rate),
+         (veh.delta_rate_min, veh.delta_rate_max)),
+        ("theta [rad]", np.asarray(traj.theta), None),
+        ("kappa [1/m]", np.asarray(traj.kappa), None),
+    ]
+    fig, axes = plt.subplots(len(panels), 1, figsize=(10, 14), sharex=True)
+    for ax, (name, vals, lims) in zip(axes, panels):
+        ax.plot(t, vals, "b-")
+        if lims is not None:
+            ax.axhline(lims[0], color="r", ls="--", lw=0.8)
+            ax.axhline(lims[1], color="r", ls="--", lw=0.8)
+        ax.set_ylabel(name)
+        ax.grid(alpha=0.3)
+    axes[-1].set_xlabel("t [s]")
+    return fig
+
+
+def plot_cost_history(hist, fig=None):
+    """Cost-vs-iteration curve by component
+    (figure_plot.h:455-485)."""
+    plt = _mpl()
+    fig, ax = plt.subplots(figsize=(9, 6))
+    for name in ("total", "target", "dynamic", "corridor", "lane"):
+        ax.plot(np.asarray(getattr(hist, name)), label=name)
+    ax.set_xlabel("iteration")
+    ax.set_ylabel("cost")
+    ax.legend()
+    ax.grid(alpha=0.3)
+    return fig

@@ -1,0 +1,122 @@
+"""Batch + multi-device (8 virtual CPU devices) tests: sharded solves with
+psum-reduced stats, MPC warm-start loop, tracker, checkpointing, LQR."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cilqr_tpu import batch as B
+from cilqr_tpu import dist as D
+from cilqr_tpu.config import PlannerConfig
+from cilqr_tpu.types import SolverStatus
+
+from test_solver import CFG, DT, VEH, N, straight_goals, wide_constraints
+
+
+def _batched_problem(batch):
+    goals = straight_goals()
+    cons = wide_constraints(goals)
+    rng = np.random.default_rng(2)
+    starts = np.zeros((batch, 6))
+    starts[:, 1] = rng.uniform(-1, 1, batch)
+    starts[:, 3] = 10.0
+    gb = jnp.broadcast_to(goals, (batch,) + goals.shape)
+    cb = jax.tree.map(lambda a: jnp.broadcast_to(a, (batch,) + a.shape), cons)
+    return gb, jnp.asarray(starts), cb
+
+
+def test_solve_batch_metrics():
+    gb, sb, cb = _batched_problem(8)
+    res = B.solve_batch(gb, sb, cb, CFG, VEH, DT)
+    m = B.BatchMetrics.from_result(res)
+    assert m.n == 8
+    assert m.converged_fraction == 1.0
+    assert m.iters_mean >= 1
+
+
+def test_sharded_solve_step_8_devices():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 cpu devices"
+    cfg = PlannerConfig()
+    mesh = D.make_batch_mesh(jax.devices()[:8])
+    gb, sb, cb = _batched_problem(16)
+    gb, sb, cb = D.shard_batch(mesh, (gb, sb, cb))
+    step = D.sharded_solve_step(cfg, mesh)
+    res, stats = step(gb, sb, cb)
+    assert float(stats["n"]) == 16
+    assert float(stats["converged"]) == 16
+    # sharded result equals the unsharded vmap bitwise
+    res0 = B.solve_batch(*_batched_problem(16), CFG, VEH, DT)
+    np.testing.assert_allclose(np.asarray(res.us), np.asarray(res0.us),
+                               atol=1e-12)
+
+
+def test_mpc_warm_start_converges_faster():
+    from cilqr_tpu import pipeline, scenario
+    from cilqr_tpu.mpc import run_mpc
+
+    cfg = PlannerConfig()
+    scn = scenario.make_scenario(seed=5, dtype=jnp.float64)
+    results = run_mpc(scn, (0.0, 0.0, 0.0, 10.0), cfg, n_cycles=3)
+    assert len(results) == 4
+    for r in results:
+        assert int(r.status) != SolverStatus.RUNNING
+    # warm-started cycles should need no more iterations than the cold solve
+    assert np.mean([int(r.iters) for r in results[1:]]) <= int(results[0].iters) + 5
+
+
+def test_tracker_follows_straight_line():
+    from cilqr_tpu import tracker
+    from cilqr_tpu.config import TrackerConfig, VehicleParam
+    from cilqr_tpu.types import Traj
+
+    n = 81
+    t = jnp.arange(n) * 0.1
+    v = 8.0
+    coarse = Traj.zeros(n, jnp.float64).replace(
+        time=t, s=v * t, x=v * t, velocity=jnp.full((n,), v))
+    start = jnp.asarray([0.0, 0.5, 0.0, 8.0, 0.0, 0.0])
+    xs, us = tracker.plan(start, coarse, TrackerConfig(), VehicleParam())
+    assert xs.shape == (n, 6)
+    assert us.shape == (n - 1, 2)
+    # lateral error decays
+    y = np.asarray(xs)[:, 1]
+    assert abs(y[-1]) < abs(y[0])
+    assert np.isfinite(np.asarray(xs)).all()
+
+
+def test_lqr_matches_scipy():
+    from cilqr_tpu.lqr import solve_lqr
+
+    A = jnp.asarray([[1.0, 0.1], [0.0, 1.0]])
+    Bm = jnp.asarray([[0.0], [0.1]])
+    Q = jnp.eye(2) * 0.5
+    R = jnp.eye(1) * 0.2
+    K = solve_lqr(A, Bm, Q, R, tolerance=1e-10, max_iter=10000)
+    import scipy.linalg as sla
+
+    P = sla.solve_discrete_are(np.asarray(A), np.asarray(Bm), np.asarray(Q),
+                               np.asarray(R))
+    K_ref = np.linalg.inv(np.asarray(R) + np.asarray(Bm).T @ P @ np.asarray(Bm)) \
+        @ (np.asarray(Bm).T @ P @ np.asarray(A))
+    np.testing.assert_allclose(np.asarray(K), K_ref, atol=1e-6)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from cilqr_tpu import checkpoint, scenario
+
+    scn = scenario.make_scenario(seed=9, dtype=jnp.float64)
+    p = tmp_path / "scn.npz"
+    checkpoint.save_scenario(p, scn)
+    scn2 = checkpoint.load_scenario(p, dtype=jnp.float64)
+    np.testing.assert_allclose(np.asarray(scn.static_obs),
+                               np.asarray(scn2.static_obs))
+    np.testing.assert_allclose(np.asarray(scn.centerline.x),
+                               np.asarray(scn2.centerline.x))
+
+    gb, sb, cb = _batched_problem(2)
+    res = B.solve_batch(gb, sb, cb, CFG, VEH, DT)
+    p2 = tmp_path / "res.npz"
+    checkpoint.save_result(p2, res)
+    res2 = checkpoint.load_result(p2)
+    np.testing.assert_allclose(np.asarray(res.us), np.asarray(res2.us))

@@ -1,0 +1,99 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cilqr_tpu import scenario as SC
+from cilqr_tpu import world as W
+
+
+@pytest.fixture(scope="module")
+def scn():
+    return SC.make_scenario(seed=3, dtype=jnp.float64)
+
+
+def test_centerline_shape_and_geometry():
+    cl = SC.make_centerline()
+    # total road length ~ 30 + 15.7 + 10 + 15.7 + 36 + 37.7 + 50 = ~195 m
+    assert 190 < cl.s[-1] < 200
+    # resolution ~0.1 m in s
+    assert np.allclose(np.diff(cl.s), 0.1)
+    # heading continuous
+    assert np.max(np.abs(np.diff(cl.theta))) < 0.05
+    # curvature values match segment config
+    assert set(np.round(np.unique(cl.kappa), 4)) <= {
+        0.0, -0.1, 0.2, round(-1 / 12, 4)}
+
+
+def test_scenario_tensors(scn):
+    assert scn.static_obs.shape == (SC.MAX_STATIC, 4, 2)
+    assert int(scn.static_mask.sum()) == SC.N_STATIC
+    assert int(scn.dyn_mask.sum()) == SC.N_PEDESTRIANS + SC.N_DYNAMIC_VEHICLES
+    # dynamic times monotonically nondecreasing
+    dt = np.diff(np.asarray(scn.dyn_times), axis=1)
+    assert np.all(dt >= -1e-12)
+
+
+def test_barrier_grid_counts_match_exact(scn, rng):
+    grid = W.build_barrier_grid(np.asarray(scn.barrier_xy))
+    pts = np.asarray(scn.barrier_xy)
+    for _ in range(50):
+        c = pts[rng.integers(0, len(pts))] + rng.normal(size=2)
+        minx, miny = c - 1.3
+        maxx, maxy = c + 1.3
+        exact = int(W.barrier_points_in_box_exact(
+            scn.barrier_xy, scn.barrier_mask, jnp.asarray(minx),
+            jnp.asarray(miny), jnp.asarray(maxx), jnp.asarray(maxy)))
+        approx = int(W.barrier_points_in_box_grid(
+            grid, jnp.asarray(minx), jnp.asarray(miny), jnp.asarray(maxx),
+            jnp.asarray(maxy)))
+        # conservative: approx >= exact, and only over-counts the 0.1m shell
+        assert approx >= exact
+        if exact == 0:
+            # padded box of +0.15m should bound the overcount
+            exact_pad = int(W.barrier_points_in_box_exact(
+                scn.barrier_xy, scn.barrier_mask, jnp.asarray(minx - 0.15),
+                jnp.asarray(miny - 0.15), jnp.asarray(maxx + 0.15),
+                jnp.asarray(maxy + 0.15)))
+            assert approx <= exact_pad
+
+
+def test_static_collision_on_obstacle(scn):
+    # box centered on a static obstacle must collide
+    corners = np.asarray(scn.static_obs)[0]
+    cx, cy = corners.mean(axis=0)
+    hit = W.static_obstacle_overlap(scn, jnp.asarray(cx - 1), jnp.asarray(cy - 1),
+                                    jnp.asarray(cx + 1), jnp.asarray(cy + 1))
+    assert bool(hit)
+    # far away box must not
+    miss = W.static_obstacle_overlap(scn, jnp.asarray(1e4), jnp.asarray(1e4),
+                                     jnp.asarray(1e4 + 1), jnp.asarray(1e4 + 1))
+    assert not bool(miss)
+
+
+def test_dynamic_obstacle_time_window(scn):
+    # pick a dynamic vehicle (last 3 obstacles), probe at its first sample
+    k = SC.N_PEDESTRIANS  # first dynamic vehicle
+    t0 = float(scn.dyn_times[k, 0])
+    c = np.asarray(scn.dyn_obs)[k, 0].mean(axis=0)
+    hit = W.dynamic_obstacle_overlap(scn, jnp.asarray(t0 + 0.05),
+                                     jnp.asarray(c[0] - 1), jnp.asarray(c[1] - 1),
+                                     jnp.asarray(c[0] + 1), jnp.asarray(c[1] + 1))
+    assert bool(hit)
+    # before the obstacle's window: vehicles start at t=0, so probe a
+    # pedestrian with positive time offset
+    kp = 0
+    tp0 = float(scn.dyn_times[kp, 0])
+    cp = np.asarray(scn.dyn_obs)[kp, 0].mean(axis=0)
+    if tp0 > 0.2:
+        early = W.dynamic_obstacle_overlap(
+            scn, jnp.asarray(tp0 - 0.2), jnp.asarray(cp[0] - 0.6),
+            jnp.asarray(cp[1] - 0.6), jnp.asarray(cp[0] + 0.6),
+            jnp.asarray(cp[1] + 0.6))
+        assert not bool(early)
+
+
+def test_query_dynamic_points(scn):
+    pts, mask = W.query_dynamic_points(scn, jnp.asarray(0.05))
+    assert pts.shape == (SC.MAX_DYNAMIC * 4, 2)
+    # dynamic vehicles (t in [0,16]) are active at t=0.05
+    assert int(mask.sum()) >= 3 * 4
