@@ -1,62 +1,104 @@
-"""Benchmark: batched CILQR solves/s on one chip.
+"""Benchmark: batched CILQR solves/s on one chip, on real pedestrian_test
+problems.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline is measured against the driver-set target of 1000 solves/s/chip
 (BASELINE.md; the reference publishes no numbers — it is a single-threaded
 C++ planner with an implied 0.1 s/cycle real-time budget).
 
-The benchmark solves a batch of B=256 independent 81-knot CILQR problems
-(pedestrian_test horizon: corridor + lane + actuator barriers, randomized
-starts) via the vmapped while_loop solver — the BASELINE config-3 shape.
+Problem data: benchdata/problems.npz — 256 random pedestrian_test scenarios
+taken through the DP coarse planner + corridor construction + constraint
+prep (regenerate with `python -m cilqr_tpu.bench_prep`). The timed region
+is the batched barrier-CILQR solve (vmapped while_loop solver), the
+dominant stage. Falls back to a synthetic wide-corridor problem if the
+fixture is missing (easier problems; labeled accordingly).
 """
 
 import json
+import os
 import time
 
 import numpy as np
+
+FIXTURE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "benchdata", "problems.npz")
+
+
+def _load_fixture(dtype):
+    import jax.numpy as jnp
+
+    from cilqr_tpu.costs import ConstraintSet
+
+    d = np.load(FIXTURE)
+    goals = jnp.asarray(d["goals"], dtype)
+    starts = jnp.asarray(d["starts"], dtype)
+    cons = ConstraintSet(
+        corridor_planes=jnp.asarray(d["corridor_planes"], dtype),
+        corridor_mask=jnp.asarray(d["corridor_mask"]),
+        left_planes=jnp.asarray(d["left_planes"], dtype),
+        left_segs=jnp.asarray(d["left_segs"], dtype),
+        left_mask=jnp.asarray(d["left_mask"]),
+        right_planes=jnp.asarray(d["right_planes"], dtype),
+        right_segs=jnp.asarray(d["right_segs"], dtype),
+        right_mask=jnp.asarray(d["right_mask"]))
+    return goals, starts, cons
 
 
 def main():
     import jax
     import jax.numpy as jnp
 
-    from __graft_entry__ import _synthetic_problem
     from cilqr_tpu.batch import solve_batch
+    from cilqr_tpu.config import PlannerConfig
 
-    B = int(__import__("os").environ.get("BENCH_BATCH", 256))
-    REPS = int(__import__("os").environ.get("BENCH_REPS", 5))
-
-    cfg, goals, starts, cons = _synthetic_problem(batch=B, n_knots=81,
-                                                  dtype=jnp.float32)
+    B_env = os.environ.get("BENCH_BATCH")
+    REPS = int(os.environ.get("BENCH_REPS", 5))
+    cfg = PlannerConfig()
     ilqr = cfg.ilqr
     veh = cfg.vehicle
     dt = cfg.delta_t
+
+    if os.path.exists(FIXTURE):
+        goals, starts, cons = _load_fixture(jnp.float32)
+        metric = "cilqr_solves_per_s_per_chip"
+    else:
+        from __graft_entry__ import _synthetic_problem
+
+        cfg, goals, starts, cons = _synthetic_problem(
+            batch=int(B_env or 256), n_knots=81, dtype=jnp.float32)
+        ilqr, veh, dt = cfg.ilqr, cfg.vehicle, cfg.delta_t
+        metric = "cilqr_solves_per_s_per_chip_synthetic"
+
+    if B_env:
+        B = int(B_env)
+        rep = -(-B // goals.shape[0])  # tile fixture up to requested batch
+        goals, starts, cons = jax.tree.map(
+            lambda a: jnp.concatenate([a] * rep, axis=0)[:B],
+            (goals, starts, cons))
+    B = goals.shape[0]
 
     @jax.jit
     def step(goals, starts, cons):
         res = solve_batch(goals, starts, cons, ilqr, veh, dt)
         return res.us, res.status, res.iters
 
-    # warmup & compile
     us, status, iters = step(goals, starts, cons)
     jax.block_until_ready(us)
 
-    # vary starts per rep so no rep is a cached no-op
     rng = np.random.default_rng(1)
     times = []
     for _ in range(REPS):
-        s2 = starts + jnp.asarray(
-            np.concatenate([rng.uniform(-0.2, 0.2, (B, 2)),
-                            np.zeros((B, 4))], axis=1), starts.dtype)
+        s2 = starts.at[:, 1].add(jnp.asarray(rng.uniform(-0.2, 0.2, B),
+                                             starts.dtype))
         t0 = time.perf_counter()
-        us, status, iters = step(goals, s2, cons)
-        jax.block_until_ready(us)
+        out = step(goals, s2, cons)
+        jax.block_until_ready(out[0])
         times.append(time.perf_counter() - t0)
 
     best = min(times)
     solves_per_s = B / best
     print(json.dumps({
-        "metric": "cilqr_solves_per_s_per_chip",
+        "metric": metric,
         "value": round(solves_per_s, 2),
         "unit": "solves/s",
         "vs_baseline": round(solves_per_s / 1000.0, 3),

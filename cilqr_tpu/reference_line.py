@@ -127,9 +127,16 @@ def compute_path_profile(dt, xs, ys):
     accels = jnp.concatenate([accels, accels[-1:]])
 
     def diff_over(v, svals):
-        d0 = (v[1] - v[0]) / (svals[1] - svals[0])
-        dn = (v[-1] - v[-2]) / (svals[-1] - svals[-2])
-        dm = (v[2:] - v[:-2]) / (svals[2:] - svals[:-2])
+        # Zero-length segments (a stalled DP path) make these 0/0 — the
+        # reference NaN-poisons there (discrete_points_math.cc:111-132, a
+        # documented defect); we define the derivative as 0 instead.
+        def safe(num, den):
+            ok = jnp.abs(den) > 1e-12
+            return jnp.where(ok, num / jnp.where(ok, den, 1.0), 0.0)
+
+        d0 = safe(v[1] - v[0], svals[1] - svals[0])
+        dn = safe(v[-1] - v[-2], svals[-1] - svals[-2])
+        dm = safe(v[2:] - v[:-2], svals[2:] - svals[:-2])
         return jnp.concatenate([d0[None], dm, dn[None]])
 
     xds = diff_over(xs, s)

@@ -36,6 +36,8 @@ def _add_common(p):
                    help="JSON config override file")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     p.add_argument("--f64", action="store_true", help="double precision")
+    p.add_argument("--host-devices", type=int, default=0,
+                   help="virtual CPU device count (set before first jax use)")
 
 
 def main(argv=None):
@@ -61,7 +63,33 @@ def main(argv=None):
     _add_common(p_scn)
     p_scn.add_argument("--out", type=str, required=True)
 
+    p_dist = sub.add_parser(
+        "dist", help="sharded batch solve over a device mesh with psum stats")
+    _add_common(p_dist)
+    p_dist.add_argument("--batch", type=int, default=64)
+    p_dist.add_argument("--devices", type=int, default=0,
+                        help="mesh size (0 = all devices)")
+    p_dist.add_argument("--coordinator", type=str, default="",
+                        help="multi-host coordinator address")
+    p_dist.add_argument("--num-processes", type=int, default=1)
+    p_dist.add_argument("--process-id", type=int, default=0)
+
     args = ap.parse_args(argv)
+
+    if getattr(args, "host_devices", 0):
+        import os
+
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + " --xla_force_host_platform_device_count="
+                f"{args.host_devices}").strip()
+
+    if getattr(args, "num_processes", 1) > 1:
+        from .dist import init_distributed
+
+        init_distributed(args.coordinator, args.num_processes,
+                         args.process_id)
 
     import jax
 
@@ -149,6 +177,33 @@ def main(argv=None):
               f"converged={m.converged_fraction:.2%} "
               f"iters mean={m.iters_mean:.1f} p99={m.iters_p99:.0f}")
         print("statuses:", m.status_counts)
+        return 0
+
+    if args.cmd == "dist":
+        from .dist import make_batch_mesh, shard_batch, sharded_pipeline_step
+        from .world import build_barrier_grid
+
+        n_dev = args.devices or len(jax.devices())
+        mesh = make_batch_mesh(jax.devices()[:n_dev])
+        B = args.batch - args.batch % n_dev or n_dev
+        scns = scenario.make_scenario_batch(
+            range(args.seed, args.seed + B), dtype=dtype)
+        scn0 = jax.tree.map(lambda a: a[0], scns)
+        grid = build_barrier_grid(np.asarray(scn0.barrier_xy),
+                                  cfg.dp.grid_cell)
+        lane = pipeline.make_lane_tuple(scn0.left_barrier_xy,
+                                        scn0.right_barrier_xy, cfg)
+        starts = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 0.0, 10.0], dtype),
+                                  (B, 4))
+        step = sharded_pipeline_step(cfg, mesh, grid, lane)
+        scns, starts = shard_batch(mesh, (scns, starts))
+        t0 = time.perf_counter()
+        out, stats = step(scns, starts)
+        jax.block_until_ready(out.solve.us)
+        wall = time.perf_counter() - t0
+        stats = {k: float(v) for k, v in stats.items()}
+        print(f"mesh={n_dev} batch={B} wall={wall:.2f}s (incl. compile) "
+              f"stats={stats}")
         return 0
 
     if args.cmd == "mpc":

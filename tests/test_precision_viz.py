@@ -1,0 +1,79 @@
+"""float32 qualification (SURVEY.md §7.11) + viz/run smoke tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cilqr_tpu import costs as C
+from cilqr_tpu import solver as S
+from cilqr_tpu.config import IlqrConfig, VehicleParam
+from cilqr_tpu.types import SolverStatus
+
+from test_solver import CFG, DT, VEH, N, straight_goals, wide_constraints
+
+
+def test_f32_controls_close_to_f64():
+    """The bench runs float32; qualify it against the f64 golden within the
+    1e-3 control gate on the synthetic problem."""
+    goals = straight_goals()
+    cons = wide_constraints(goals)
+    start = jnp.asarray([0.0, 0.6, 0.08, 10.0, 0.0, 0.0])
+
+    res64 = S.solve(goals, start, cons, CFG, VEH, DT)
+
+    to32 = lambda t: jax.tree.map(
+        lambda a: a.astype(jnp.float32) if a.dtype == jnp.float64 else a, t)
+    res32 = S.solve(to32(goals), to32(start), to32(cons), CFG, VEH, DT)
+
+    assert int(res32.status) != SolverStatus.RUNNING
+    dev = np.max(np.abs(np.asarray(res32.us, np.float64) - np.asarray(res64.us)))
+    assert dev < 1e-3, f"f32 control deviation {dev}"
+    pos_dev = np.max(np.abs(np.asarray(res32.xs[:, :2], np.float64)
+                            - np.asarray(res64.xs[:, :2])))
+    assert pos_dev < 5e-3, f"f32 position deviation {pos_dev}"
+
+
+def test_viz_smoke(tmp_path):
+    from cilqr_tpu import pipeline, scenario, viz
+    from cilqr_tpu.config import PlannerConfig
+
+    cfg = PlannerConfig()
+    scn = scenario.make_scenario(seed=2, dtype=jnp.float64)
+    fig = viz.plot_scenario(scn)
+    fig.savefig(tmp_path / "scn.png")
+    # dashboard from a trivial trajectory
+    from cilqr_tpu.types import Traj
+
+    t = jnp.arange(81) * 0.1
+    tr = Traj.zeros(81, jnp.float64).replace(time=t, velocity=t * 0 + 5)
+    fig2 = viz.plot_states_dashboard(tr, cfg.vehicle)
+    fig2.savefig(tmp_path / "dash.png")
+    assert (tmp_path / "scn.png").exists()
+
+
+def test_cost_history_plot(tmp_path):
+    from cilqr_tpu import viz
+
+    goals = straight_goals()
+    cons = wide_constraints(goals)
+    start = jnp.asarray([0.0, 0.5, 0.0, 10.0, 0.0, 0.0])
+    _, hist = S.solve_with_history(goals, start, cons, CFG, VEH, DT,
+                                   num_iters=10)
+    fig = viz.plot_cost_history(hist)
+    fig.savefig(tmp_path / "cost.png")
+    assert (tmp_path / "cost.png").exists()
+
+
+def test_config_from_dict_roundtrip():
+    from cilqr_tpu.config import PlannerConfig, from_dict
+
+    cfg = from_dict({"ilqr": {"max_iter_num": 50,
+                              "weights": {"jerk": 2.0}},
+                     "vehicle": {"wheel_base": 2.0}})
+    assert cfg.ilqr.max_iter_num == 50
+    assert cfg.ilqr.weights.jerk == 2.0
+    assert cfg.vehicle.wheel_base == 2.0
+    # unknown keys rejected
+    with pytest.raises(KeyError):
+        from_dict({"nonsense": 1})
