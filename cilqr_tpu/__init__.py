@@ -13,7 +13,7 @@ Module map (bottom-up):
   model, barriers, costs              — dynamics + cost stack
   solver, tracker, dp, corridor       — the planners
   pipeline, batch, dist, mpc          — orchestration & scaling
-  viz, metrics, checkpoint, profiling — observability & IO
+  viz, checkpoint, profiling         — observability & IO (metrics in batch)
   native                              — C++ oracle (parity/baseline)
 """
 

@@ -105,6 +105,13 @@ class LineSearchConfig:
     )
     beta_min: float = 1e-4
     beta_max: float = 10.0
+    # 'parallel': evaluate all alphas per outer iteration (vmap fan-out) and
+    # pick the first acceptable — simple, but rolls out 11 trajectories when
+    # the reference's sequential search usually accepts the first.
+    # 'serial': one alpha per while_loop trip with a carried alpha index —
+    # exact reference early-exit semantics at ~1/4 of the per-iteration
+    # flops when the first alpha accepts (docs/PERF.md lever 2).
+    mode: str = "serial"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -142,6 +149,7 @@ class IlqrConfig:
 class CorridorConfig:
     """Safe-corridor construction (planner_config.h:75-86)."""
 
+    is_multiple_sample: bool = False
     max_diff_x: float = 25.0
     max_diff_y: float = 25.0
     radius: float = 150.0
@@ -173,6 +181,10 @@ class DpConfig:
     # force over all road-barrier points is used by parity tests.
     collision_mode: str = "grid"
     grid_cell: float = 0.1
+    # parents processed per lax.map step in the transition collision sweep
+    # (memory vs parallelism; the full [70 x 70 x 16]-probe tensor OOMs HBM
+    # under large scenario batches)
+    parent_chunk: int = 14
 
 
 @dataclasses.dataclass(frozen=True)

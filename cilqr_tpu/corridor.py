@@ -36,8 +36,10 @@ from .world import query_dynamic_points
 
 def _box_sample_points(x, y, theta, cfg: CorridorConfig, dtype):
     """AddCorridorPoints (corridor.cc:89-120): 4 corners of a +-max_axis box
-    around the pose, each edge sampled at ratio {0, 1} -> 8 points (each
-    corner twice)."""
+    around the pose; each edge sampled at ratios {0, 1} (8 points, corners
+    twice), or at step 1/5 when is_multiple_sample (24 points)."""
+    from .geometry import sample_polygon_edges
+
     ch = jnp.cos(theta)
     sh = jnp.sin(theta)
     dx1 = ch * cfg.max_axis_x
@@ -46,24 +48,35 @@ def _box_sample_points(x, y, theta, cfg: CorridorConfig, dtype):
     dy2 = -ch * cfg.max_axis_y
     cx = jnp.stack([x + dx1 + dx2, x + dx1 - dx2, x - dx1 - dx2, x - dx1 + dx2])
     cy = jnp.stack([y + dy1 + dy2, y + dy1 - dy2, y - dy1 - dy2, y - dy1 + dy2])
-    nxt = jnp.roll(jnp.stack([cx, cy], axis=-1), -1, axis=0)
     cur = jnp.stack([cx, cy], axis=-1)
-    pts = jnp.stack([cur, nxt], axis=1).reshape(8, 2)  # ratio 0 then 1 per edge
-    return pts
+    mult = 5 if cfg.is_multiple_sample else 1
+    return sample_polygon_edges(cur, mult)
 
 
 def corridor_seed_points(scn: Scenario, x, y, theta, time,
                          cfg: CorridorConfig, max_points: int):
     """Seed set per knot: static corners + dynamic corners at knot time +
-    box samples (BuildCorridorConstraints, corridor.cc:56-87)."""
+    box samples (BuildCorridorConstraints, corridor.cc:56-87). With
+    is_multiple_sample, obstacle polygon boundaries are sampled 5x
+    (environment.cpp:160-161,177-178)."""
+    from .geometry import sample_polygon_edges
+
     dtype = scn.static_obs.dtype
-    st_pts = scn.static_obs.reshape(-1, 2)
-    st_mask = jnp.repeat(scn.static_mask, 4)
     dyn_pts, dyn_mask = query_dynamic_points(scn, time)
+    if cfg.is_multiple_sample:
+        st_pts = sample_polygon_edges(scn.static_obs, 5).reshape(-1, 2)
+        st_mask = jnp.repeat(scn.static_mask, 24)
+        dyn_pts = sample_polygon_edges(dyn_pts.reshape(-1, 4, 2), 5
+                                       ).reshape(-1, 2)
+        dyn_mask = jnp.repeat(dyn_mask.reshape(-1, 4)[:, 0], 24)
+    else:
+        st_pts = scn.static_obs.reshape(-1, 2)
+        st_mask = jnp.repeat(scn.static_mask, 4)
     box_pts = _box_sample_points(x, y, theta, cfg, dtype)
+    nb = box_pts.shape[0]
     pts = jnp.concatenate([st_pts, dyn_pts, box_pts], axis=0)
     mask = jnp.concatenate([st_mask, dyn_mask,
-                            jnp.ones((8,), bool)], axis=0)
+                            jnp.ones((nb,), bool)], axis=0)
     K = pts.shape[0]
     if K > max_points:
         raise ValueError(f"corridor max_points={max_points} < seeds {K}")

@@ -189,16 +189,39 @@ def plan(scn: Scenario, start_x, start_y, start_theta,
         cur_l_c = off_all[jnp.arange(P * Cn),
                           jnp.tile(c_lind, P)].reshape(P, Cn)
 
-        # interpolated segments parent->child: [P, C, nseg]
+        # Collision sweep over [P, C, nseg] probes. Materializing all of it
+        # at once costs GBs of padded HBM temps under a scenario batch
+        # (each probe expands into per-obstacle SAT tensors), so process
+        # parents in chunks via lax.map (dp.parent_chunk controls the
+        # memory/parallelism trade-off).
         st_pc = jnp.broadcast_to(c_station[None, :], (P, Cn))
-        sp2, lp2 = _interp_sl(jnp.broadcast_to(p_s[:, None], (P, Cn)),
-                              jnp.broadcast_to(p_l[:, None], (P, Cn)),
-                              st_pc, cur_l_c, nseg)
-        t0v = jnp.full((P, Cn), times[t], dtype)
-        obst = _segment_cost(cl, scn, grid, cfg, sp2, lp2,
-                             jnp.broadcast_to(last_s[:, None], (P, Cn)),
-                             jnp.broadcast_to(last_l[:, None], (P, Cn)),
-                             t0v, nseg, safe_margin)
+        t0v = jnp.full((Cn,), times[t], dtype)
+        chunk = max(1, min(dp.parent_chunk, P))
+        n_chunks = -(-P // chunk)
+        pad = n_chunks * chunk - P
+
+        def pad_p(a):
+            return jnp.concatenate([a, a[-1:].repeat(pad, 0)]) if pad else a
+
+        def chunk_cost(args):
+            cp_s, cp_l, clast_s, clast_l, ccur_l = args  # [chunk], [chunk,C]
+            csp, clp = _interp_sl(
+                jnp.broadcast_to(cp_s[:, None], (chunk, Cn)),
+                jnp.broadcast_to(cp_l[:, None], (chunk, Cn)),
+                jnp.broadcast_to(c_station[None, :], (chunk, Cn)),
+                ccur_l, nseg)
+            return _segment_cost(
+                cl, scn, grid, cfg, csp, clp,
+                jnp.broadcast_to(clast_s[:, None], (chunk, Cn)),
+                jnp.broadcast_to(clast_l[:, None], (chunk, Cn)),
+                jnp.broadcast_to(t0v[None, :], (chunk, Cn)), nseg,
+                safe_margin)
+
+        chunked = jax.lax.map(
+            chunk_cost,
+            tuple(pad_p(a).reshape((n_chunks, chunk) + a.shape[1:])
+                  for a in (p_s, p_l, last_s, last_l, cur_l_c)))
+        obst = chunked.reshape(n_chunks * chunk, Cn)[:P]
 
         ds1 = st_pc
         dl1 = cur_l_c - p_l[:, None]

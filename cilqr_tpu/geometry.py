@@ -130,6 +130,18 @@ def points_in_aabb_count(px, py, minx, miny, maxx, maxy, mask):
     return inside.sum(axis=-1)
 
 
+def sample_polygon_edges(corners, multiple: int = 5):
+    """Boundary samples of a polygon at ratio steps 1/multiple per edge,
+    endpoints inclusive (Polygon2d::sample_points semantics,
+    polygon2d.cpp:259-271: each edge yields multiple+1 points, so corners
+    appear twice). corners: [..., K, 2] -> [..., K*(multiple+1), 2]."""
+    nxt = jnp.roll(corners, -1, axis=-2)
+    r = jnp.arange(multiple + 1, dtype=corners.dtype) / multiple
+    pts = (corners[..., :, None, :] * (1 - r)[None, :, None] +
+           nxt[..., :, None, :] * r[None, :, None])
+    return pts.reshape(corners.shape[:-2] + (-1, 2))
+
+
 # ---------------------------------------------------------------------------
 # Masked convex hull (Andrew's monotone chain over padded point sets)
 # ---------------------------------------------------------------------------

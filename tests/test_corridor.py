@@ -182,3 +182,31 @@ def test_lane_constraints_orientation():
     # segments ~5 m long
     seglen = np.hypot(*(lsg[lm][:, 1] - lsg[lm][:, 0]).T)
     assert np.all(seglen >= 4.9)
+
+
+def test_multiple_sample_seed_points():
+    """is_multiple_sample=True samples obstacle + box edges 5x
+    (environment.cpp:161,178; corridor.cc:110): all single-sample seeds are
+    a subset of the multi-sample seeds, and the corridor built from them
+    still contains the pose."""
+    import dataclasses
+
+    from cilqr_tpu import scenario as SC
+
+    scn = SC.make_scenario(0, dtype=jnp.float64)
+    cfg1 = CFG
+    cfg5 = dataclasses.replace(CFG, is_multiple_sample=True, max_points=416)
+    x, y, th, t = (jnp.asarray(5.0), jnp.asarray(0.0),
+                   jnp.asarray(0.0), jnp.asarray(0.0))
+    p1, m1 = CR.corridor_seed_points(scn, x, y, th, t, cfg1, cfg1.max_points)
+    p5, m5 = CR.corridor_seed_points(scn, x, y, th, t, cfg5, cfg5.max_points)
+    assert int(m5.sum()) > int(m1.sum())
+    s1 = {tuple(np.round(p, 9)) for p in np.asarray(p1)[np.asarray(m1)]}
+    s5 = {tuple(np.round(p, 9)) for p in np.asarray(p5)[np.asarray(m5)]}
+    assert s1 <= s5
+    planes, pmask, poly, polymask, ok = CR.build_corridor(
+        x, y, p5, m5, cfg5, cfg5.max_constraints)
+    assert bool(ok)
+    pl = np.asarray(planes)[np.asarray(pmask)]
+    # pose strictly inside every half-plane a*x + b*y <= c
+    assert np.all(pl[:, 0] * 5.0 + pl[:, 1] * 0.0 <= pl[:, 2] + 1e-9)

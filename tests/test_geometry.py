@@ -107,3 +107,25 @@ def test_convex_hull_duplicates():
     mask = np.arange(K) < len(pts)
     hull, hmask, count = G.convex_hull_masked(jnp.asarray(full), jnp.asarray(mask))
     assert int(count) == 4
+
+
+def test_sample_polygon_edges():
+    """Polygon2d::BuildSamplePoints semantics (polygon2d.cpp:259-271): each
+    edge yields multiple+1 points at ratio steps 1/multiple, endpoints
+    inclusive (corners appear twice across adjacent edges)."""
+    sq = jnp.asarray([[0.0, 0.0], [2.0, 0.0], [2.0, 2.0], [0.0, 2.0]])
+    out = np.asarray(G.sample_polygon_edges(sq, 5))
+    assert out.shape == (24, 2)
+    # first edge: (0,0) -> (2,0) at ratios 0, .2, ..., 1
+    np.testing.assert_allclose(out[:6, 0], np.linspace(0, 2, 6), atol=1e-12)
+    np.testing.assert_allclose(out[:6, 1], 0.0, atol=1e-12)
+    # edge endpoints duplicated: sample 5 (end of edge 0) == sample 6 (start of edge 1)
+    np.testing.assert_allclose(out[5], out[6], atol=1e-12)
+    # multiple=1 degenerates to each corner twice (ratio 0 and 1)
+    out1 = np.asarray(G.sample_polygon_edges(sq, 1))
+    assert out1.shape == (8, 2)
+    np.testing.assert_allclose(out1[0], [0, 0], atol=1e-12)
+    np.testing.assert_allclose(out1[1], [2, 0], atol=1e-12)
+    # batched leading dims pass through
+    batched = G.sample_polygon_edges(jnp.stack([sq, sq + 1.0]), 5)
+    assert batched.shape == (2, 24, 2)
