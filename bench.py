@@ -53,7 +53,20 @@ def main():
 
     B_env = os.environ.get("BENCH_BATCH")
     REPS = int(os.environ.get("BENCH_REPS", 5))
+    # Inner replications executed inside ONE jitted call (lax.map over
+    # perturbed start states): the tunneled-TPU dispatch adds tens-of-ms
+    # noise per call, so per-call timing of a sub-ms batch is dominated by
+    # dispatch; amortizing INNER batches per dispatch divides that noise
+    # out.
+    INNER = int(os.environ.get("BENCH_INNER", 16))
     cfg = PlannerConfig()
+    mode = os.environ.get("BENCH_LS_MODE")
+    if mode:
+        import dataclasses
+
+        cfg = cfg.replace(ilqr=dataclasses.replace(
+            cfg.ilqr, line_search=dataclasses.replace(
+                cfg.ilqr.line_search, mode=mode)))
     ilqr = cfg.ilqr
     veh = cfg.vehicle
     dt = cfg.delta_t
@@ -78,25 +91,38 @@ def main():
     B = goals.shape[0]
 
     @jax.jit
-    def step(goals, starts, cons):
-        res = solve_batch(goals, starts, cons, ilqr, veh, dt)
-        return res.us, res.status, res.iters
+    def step_many(goals, starts, cons, deltas):
+        """INNER perturbed batch solves in one dispatch; outputs reduced to
+        scalars so device->host transfer stays off the timed path."""
 
-    us, status, iters = step(goals, starts, cons)
-    jax.block_until_ready(us)
+        def one(d):
+            res = solve_batch(goals, starts.at[:, 1].add(d), cons,
+                              ilqr, veh, dt)
+            return (res.us.sum(), res.iters.sum(),
+                    (res.status != 0).all())
+
+        us_sum, it_sum, done = jax.lax.map(one, deltas)
+        return us_sum.sum(), it_sum.sum(), done.all()
 
     rng = np.random.default_rng(1)
+
+    def mk_deltas():
+        return jnp.asarray(rng.uniform(-0.2, 0.2, (INNER, B)), starts.dtype)
+
+    out = step_many(goals, starts, cons, mk_deltas())
+    jax.block_until_ready(out)
+
     times = []
     for _ in range(REPS):
-        s2 = starts.at[:, 1].add(jnp.asarray(rng.uniform(-0.2, 0.2, B),
-                                             starts.dtype))
+        d = mk_deltas()
+        jax.block_until_ready(d)
         t0 = time.perf_counter()
-        out = step(goals, s2, cons)
-        jax.block_until_ready(out[0])
+        out = step_many(goals, starts, cons, d)
+        jax.block_until_ready(out)
         times.append(time.perf_counter() - t0)
 
     best = min(times)
-    solves_per_s = B / best
+    solves_per_s = B * INNER / best
     print(json.dumps({
         "metric": metric,
         "value": round(solves_per_s, 2),

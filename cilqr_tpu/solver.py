@@ -162,6 +162,7 @@ class _Carry(NamedTuple):
     dlam: jnp.ndarray
     status: jnp.ndarray
     it: jnp.ndarray
+    aidx: jnp.ndarray  # line-search alpha index (serial mode; 0 otherwise)
 
 
 def solve(coarse_xs, start_state, cons: ConstraintSet,
@@ -186,7 +187,10 @@ def solve(coarse_xs, start_state, cons: ConstraintSet,
     cost0 = total_cost(xs0, us0, goals, cons, cfg, veh)
 
     reg = cfg.reg
-    raw_body = _make_body(goals, cons, cfg, veh, dt)
+    if cfg.line_search.mode == "serial":
+        raw_body = _make_body_serial(goals, cons, cfg, veh, dt)
+    else:
+        raw_body = _make_body(goals, cons, cfg, veh, dt)
 
     def body(c: _Carry) -> _Carry:
         new = raw_body(c)
@@ -205,7 +209,8 @@ def solve(coarse_xs, start_state, cons: ConstraintSet,
                   lam=jnp.asarray(reg.lambda_init, dtype),
                   dlam=jnp.asarray(1.0, dtype),
                   status=jnp.int32(SolverStatus.RUNNING),
-                  it=jnp.int32(0))
+                  it=jnp.int32(0),
+                  aidx=jnp.int32(0))
 
     final = jax.lax.while_loop(cond, body, init)
 
@@ -217,14 +222,22 @@ def solve(coarse_xs, start_state, cons: ConstraintSet,
 
 
 def solve_with_history(coarse_xs, start_state, cons: ConstraintSet,
-                       cfg: IlqrConfig, veh: VehicleParam, dt, num_iters=None):
+                       cfg: IlqrConfig, veh: VehicleParam, dt, num_iters=None,
+                       record_trajs=False):
     """Fixed-length variant (lax.scan over iterations) that records the
     per-iteration cost breakdown — the analog of IlqrOptimizer::cost()
     (ilqr_optimizer.h:50-52) feeding the reference's cost-vs-iteration
     figure (figure_plot.h:455-485). Converged iterations repeat the frozen
     carry, mirroring how the reference stops appending.
 
-    Returns (SolveResult, CostBreakdown history [num_iters+1]).
+    Always uses the parallel line-search body (one outer iteration per scan
+    step), regardless of cfg.line_search.mode — the history is per-iteration
+    by construction.
+
+    Returns (SolveResult, CostBreakdown history [num_iters+1]); with
+    record_trajs=True, returns (SolveResult, cost history, xs history
+    [num_iters+1, N, 6]) — the reference's per-iteration trajectory
+    overlays (figure_plot.h:267-453, iter_trajectory).
     """
     n_it = cfg.max_iter_num if num_iters is None else num_iters
     goals = transform_goals(coarse_xs, start_state)
@@ -237,7 +250,8 @@ def solve_with_history(coarse_xs, start_state, cons: ConstraintSet,
                   lam=jnp.asarray(cfg.reg.lambda_init, dtype),
                   dlam=jnp.asarray(1.0, dtype),
                   status=jnp.int32(SolverStatus.RUNNING),
-                  it=jnp.int32(0))
+                  it=jnp.int32(0),
+                  aidx=jnp.int32(0))
 
     body = _make_body(goals, cons, cfg, veh, dt)
 
@@ -245,16 +259,22 @@ def solve_with_history(coarse_xs, start_state, cons: ConstraintSet,
         new = jax.lax.cond(
             (c.status == SolverStatus.RUNNING) & (c.it < cfg.max_iter_num),
             body, lambda x: x, c)
-        return new, new.cost
+        out = (new.cost, new.xs) if record_trajs else new.cost
+        return new, out
 
     final, hist = jax.lax.scan(scan_step, init, None, length=n_it)
     status = jnp.where(final.status == SolverStatus.RUNNING,
                        jnp.int32(SolverStatus.MAX_ITER), final.status)
+    if record_trajs:
+        hist, xs_hist = hist
+        xs_hist = jnp.concatenate([xs0[None], xs_hist], axis=0)
     hist = jax.tree.map(
         lambda h0, h: jnp.concatenate([h0[None], h], axis=0), cost0, hist)
     res = SolveResult(xs=final.xs, us=final.us, status=status,
                       iters=final.it, cost=final.cost, lam=final.lam,
                       init_xs=xs0, init_us=us0)
+    if record_trajs:
+        return res, hist, xs_hist
     return res, hist
 
 
@@ -317,6 +337,7 @@ def _make_body(goals, cons, cfg, veh, dt):
             dlam=sel(dlam_acc, dlam_rej),
             status=sel(status_acc, status_rej).astype(jnp.int32),
             it=c.it + 1,
+            aidx=c.aidx,
         )
 
         def keep_gnorm(n, o):
@@ -332,6 +353,100 @@ def _make_body(goals, cons, cfg, veh, dt):
                              jnp.int32(SolverStatus.SUCCESS_GNORM),
                              new.status),
             it=jnp.where(gnorm_done, c.it + 1, new.it),
+            aidx=c.aidx,
+        )
+
+    return body
+
+
+def _make_body_serial(goals, cons, cfg, veh, dt):
+    """Serial line-search outer-iteration body (docs/PERF.md lever 2).
+
+    One while_loop trip evaluates ONE alpha (carried index ``aidx``) instead
+    of fanning out all 11 rollouts. This reproduces the reference's
+    sequential early-exit (ilqr_optimizer.cc:246-265) exactly: on a reject
+    that is not the last alpha, (xs, us, lam) are unchanged, so the
+    relinearization + backward pass recomputed next trip are *identical*
+    (idempotent at an unchanged point) and the next alpha sees the same
+    gains — only the iteration counter semantics are preserved by counting
+    an iteration when the search concludes (accept, or last alpha rejected).
+    With acceptance typically at the first alpha, a trip costs
+    relinearize + backward + ONE rollout + ONE cost eval, ~4x fewer flops
+    than the parallel fan-out.
+    """
+    dtype = goals.dtype
+    reg = cfg.reg
+    alphas = jnp.asarray(cfg.line_search.alphas, dtype)
+    n_alpha = len(cfg.line_search.alphas)
+
+    def body(c: _Carry) -> _Carry:
+        A, B = dynamics_jacobian(c.xs[:-1], c.us, dt, veh.wheel_base,
+                                 cfg.jacobian_mode)
+        Jx, Ju, Hx, Hu = cost_derivatives(c.xs, c.us, goals, cons, cfg, veh)
+        Ks, ks, dV0, dV1 = backward_pass(c.lam, A, B, Jx, Ju, Hx, Hu)
+        gnorm = gradient_norm(ks, c.us)
+        gnorm_done = (gnorm < reg.gradient_norm_min) & (c.lam < 1e-5)
+
+        a = alphas[c.aidx]
+        nxs, nus = forward_pass(a, c.xs, c.us, Ks, ks, goals, dt,
+                                veh.wheel_base)
+        ncost = total_cost(nxs, nus, goals, cons, cfg, veh)
+        dcost = c.cost.total - ncost.total
+        expected = -a * (dV0 + a * dV1)
+        z = dcost / expected
+        accept = ((z > cfg.line_search.beta_min) &
+                  (z < cfg.line_search.beta_max) & (dcost > 0.0))
+        last_alpha = c.aidx == (n_alpha - 1)
+        full_reject = (~accept) & last_alpha
+        concluded = accept | full_reject
+
+        # accept branch (ilqr_optimizer.cc:272-293)
+        dlam_acc = jnp.minimum(c.dlam / reg.ratio, 1.0 / reg.ratio)
+        lam_acc = c.lam * dlam_acc * (c.lam > reg.lambda_min).astype(dtype)
+        conv_abs = dcost < cfg.abs_cost_tol
+        conv_rel = (dcost / c.cost.total) < cfg.rel_cost_tol
+        status_acc = jnp.where(
+            conv_abs, SolverStatus.SUCCESS_ABS_COST,
+            jnp.where(conv_rel, SolverStatus.SUCCESS_REL_COST,
+                      SolverStatus.RUNNING))
+        # full-reject branch (:297-307)
+        dlam_rej = jnp.maximum(c.dlam * reg.ratio, reg.ratio)
+        lam_rej = jnp.maximum(c.lam * dlam_rej, reg.lambda_min)
+        status_rej = jnp.where(lam_rej > reg.lambda_max,
+                               SolverStatus.FAIL_LAMBDA_MAX,
+                               SolverStatus.RUNNING)
+
+        def pick3(on_acc, on_rej, on_adv):
+            return jnp.where(accept, on_acc,
+                             jnp.where(full_reject, on_rej, on_adv))
+
+        new = _Carry(
+            xs=jnp.where(accept, nxs, c.xs),
+            us=jnp.where(accept, nus, c.us),
+            cost=jax.tree.map(lambda n, o: jnp.where(accept, n, o),
+                              ncost, c.cost),
+            lam=pick3(lam_acc, lam_rej, c.lam),
+            dlam=pick3(dlam_acc, dlam_rej, c.dlam),
+            status=pick3(status_acc, status_rej,
+                         jnp.int32(SolverStatus.RUNNING)).astype(jnp.int32),
+            it=c.it + concluded.astype(jnp.int32),
+            aidx=jnp.where(concluded, 0, c.aidx + 1).astype(jnp.int32),
+        )
+
+        def keep_gnorm(n, o):
+            return jnp.where(gnorm_done, o, n)
+
+        return _Carry(
+            xs=keep_gnorm(new.xs, c.xs),
+            us=keep_gnorm(new.us, c.us),
+            cost=jax.tree.map(keep_gnorm, new.cost, c.cost),
+            lam=keep_gnorm(new.lam, c.lam),
+            dlam=keep_gnorm(new.dlam, c.dlam),
+            status=jnp.where(gnorm_done,
+                             jnp.int32(SolverStatus.SUCCESS_GNORM),
+                             new.status),
+            it=jnp.where(gnorm_done, c.it + 1, new.it),
+            aidx=jnp.where(gnorm_done, 0, new.aidx).astype(jnp.int32),
         )
 
     return body

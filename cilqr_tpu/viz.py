@@ -95,6 +95,32 @@ def plot_states_dashboard(traj, veh, fig=None):
     return fig
 
 
+def plot_iteration_overlays(xs_hist, n_iters, ax=None, coarse=None):
+    """Per-iteration trajectory overlays (FigurePlot::Plot iteration
+    figure, figure_plot.h:267-453): each accepted iterate drawn light-to-
+    dark, optional coarse trajectory in red. xs_hist: [I+1, N, 6] from
+    solve_with_history(record_trajs=True)."""
+    plt = _mpl()
+    if ax is None:
+        _, ax = plt.subplots(figsize=(12, 9))
+    xs_hist = np.asarray(xs_hist)
+    n = min(int(n_iters) + 1, xs_hist.shape[0])
+    if coarse is not None:
+        ax.plot(np.asarray(coarse.x), np.asarray(coarse.y), "r-", lw=1.2,
+                label="coarse (DP)")
+    cmap = plt.get_cmap("viridis")
+    for i in range(n):
+        ax.plot(xs_hist[i, :, 0], xs_hist[i, :, 1],
+                color=cmap(i / max(n - 1, 1)), lw=0.9,
+                label="init" if i == 0 else
+                ("final" if i == n - 1 else None))
+    ax.set_aspect("equal")
+    ax.set_xlabel("x [m]")
+    ax.set_ylabel("y [m]")
+    ax.legend(loc="best")
+    return ax.figure
+
+
 def plot_cost_history(hist, fig=None):
     """Cost-vs-iteration curve by component
     (figure_plot.h:455-485)."""

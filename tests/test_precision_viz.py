@@ -77,3 +77,28 @@ def test_config_from_dict_roundtrip():
     # unknown keys rejected
     with pytest.raises(KeyError):
         from_dict({"nonsense": 1})
+
+
+def test_iteration_overlays_plot(tmp_path):
+    """record_trajs history + per-iteration overlay figure
+    (figure_plot.h:267-453 analog)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from cilqr_tpu import viz
+    from test_solver import CFG_PAR
+
+    goals = straight_goals()
+    cons = wide_constraints(goals)
+    start = jnp.asarray([0.0, 0.5, 0.05, 10.0, 0.0, 0.0])
+    res, hist, xs_hist = S.solve_with_history(
+        goals, start, cons, CFG_PAR, VEH, 0.1, num_iters=8,
+        record_trajs=True)
+    assert xs_hist.shape == (9, 81, 6)
+    # iterate 0 is the init guess
+    np.testing.assert_allclose(np.asarray(xs_hist[0]),
+                               np.asarray(res.init_xs), atol=1e-12)
+    fig = viz.plot_iteration_overlays(xs_hist, res.iters)
+    out = tmp_path / "iters.png"
+    fig.savefig(out)
+    assert out.stat().st_size > 0

@@ -11,8 +11,12 @@ from cilqr_tpu import solver as S
 from cilqr_tpu.config import IlqrConfig, VehicleParam
 from cilqr_tpu.types import SolverStatus
 
+import dataclasses
+
 VEH = VehicleParam()
 CFG = IlqrConfig()
+CFG_PAR = dataclasses.replace(
+    CFG, line_search=dataclasses.replace(CFG.line_search, mode="parallel"))
 DT = 0.1
 N = 81
 
@@ -122,10 +126,23 @@ def test_solve_converges(setup):
     assert np.all(v >= -1e-6) and np.all(v <= VEH.max_velocity + 1e-6)
 
 
+def test_serial_matches_parallel_linesearch(setup):
+    """The serial one-alpha-per-trip mode must reproduce the parallel
+    fan-out's picks: same alpha accepted each iteration -> same trajectory
+    (up to re-association noise), same iteration count and status."""
+    goals, cons, start = setup
+    res_s = S.solve(goals, start, cons, CFG, VEH, DT)
+    res_p = S.solve(goals, start, cons, CFG_PAR, VEH, DT)
+    assert int(res_s.iters) == int(res_p.iters)
+    assert int(res_s.status) == int(res_p.status)
+    np.testing.assert_allclose(np.asarray(res_s.us), np.asarray(res_p.us),
+                               atol=1e-9)
+
+
 def test_solve_with_history_matches_solve(setup):
     goals, cons, start = setup
-    res = S.solve(goals, start, cons, CFG, VEH, DT)
-    res_h, hist = S.solve_with_history(goals, start, cons, CFG, VEH, DT,
+    res = S.solve(goals, start, cons, CFG_PAR, VEH, DT)
+    res_h, hist = S.solve_with_history(goals, start, cons, CFG_PAR, VEH, DT,
                                        num_iters=int(res.iters) + 2)
     np.testing.assert_allclose(np.asarray(res_h.us), np.asarray(res.us),
                                atol=1e-12)
