@@ -118,7 +118,10 @@ def main():
         jax.block_until_ready(d)
         t0 = time.perf_counter()
         out = step_many(goals, starts, cons, d)
-        jax.block_until_ready(out)
+        # float() forces a device->host transfer of the scalar result: on
+        # the tunneled backend this is the only sync guaranteed to wait for
+        # the computation itself, not just the dispatch.
+        _ = float(out[0])
         times.append(time.perf_counter() - t0)
 
     best = min(times)
