@@ -90,6 +90,8 @@ def main():
             (goals, starts, cons))
     B = goals.shape[0]
 
+    BACKEND = os.environ.get("BENCH_BACKEND", "blast")
+
     @jax.jit
     def step_many(goals, starts, cons, deltas):
         """INNER perturbed batch solves in one dispatch; outputs reduced to
@@ -97,7 +99,7 @@ def main():
 
         def one(d):
             res = solve_batch(goals, starts.at[:, 1].add(d), cons,
-                              ilqr, veh, dt)
+                              ilqr, veh, dt, backend=BACKEND)
             return (res.us.sum(), res.iters.sum(),
                     (res.status != 0).all())
 

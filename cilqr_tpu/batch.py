@@ -22,8 +22,20 @@ from .types import SolveResult, SolverStatus
 
 
 def solve_batch(goals, starts, cons: ConstraintSet, cfg, veh, dt,
-                warm_start=None) -> SolveResult:
-    """vmap of solver.solve over a leading batch axis on every input."""
+                warm_start=None, backend: str = "blast") -> SolveResult:
+    """Batched CILQR solve over a leading batch axis on every input.
+
+    backend='blast' (default): batch-last layout solver
+    (solver_blast.solve_batch_bl) — full vector-lane utilization on TPU.
+    backend='vmap': jax.vmap of the single-problem solver — the semantic
+    reference (identical decisions; controls agree to fp-reassociation
+    noise, tests/test_solver_blast.py).
+    """
+    if backend == "blast":
+        from .solver_blast import solve_batch_bl
+
+        return solve_batch_bl(goals, starts, cons, cfg, veh, dt,
+                              warm_start=warm_start)
     if warm_start is None:
         return jax.vmap(
             lambda g, s, c: solver_mod.solve(g, s, c, cfg, veh, dt))(
@@ -34,7 +46,7 @@ def solve_batch(goals, starts, cons: ConstraintSet, cfg, veh, dt,
             goals, starts, cons, warm_start)
 
 
-def solve_batch_jit(cfg: PlannerConfig):
+def solve_batch_jit(cfg: PlannerConfig, backend: str = "blast"):
     """jit-compiled batched solver over static config."""
     ilqr = cfg.ilqr
     veh = cfg.vehicle
@@ -42,7 +54,8 @@ def solve_batch_jit(cfg: PlannerConfig):
 
     @jax.jit
     def _f(goals, starts, cons):
-        return solve_batch(goals, starts, cons, ilqr, veh, dt)
+        return solve_batch(goals, starts, cons, ilqr, veh, dt,
+                           backend=backend)
 
     return _f
 

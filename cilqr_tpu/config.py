@@ -143,6 +143,13 @@ class IlqrConfig:
     # (vehicle_model.cc:44-86, including its v-vs-v_mid quirk); 'autodiff'
     # uses jax.jacfwd of the RK2 step (exact).
     jacobian_mode: str = "analytic"
+    # lax.scan unroll factor for the backward/forward horizon sweeps. On
+    # TPU each XLA loop iteration costs ~tens of us of carry round-trip
+    # overhead — 160 sequential steps per solver trip dominate the solve
+    # wall time unless unrolled (docs/PERF.md). 0 = auto: full unroll on
+    # TPU, no unroll on CPU (where loop overhead is negligible and the
+    # unrolled compile is 5x slower).
+    scan_unroll: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -49,7 +49,8 @@ def shard_batch(mesh: Mesh, tree):
     return jax.tree.map(lambda a: jax.device_put(a, sharding), tree)
 
 
-def sharded_solve_step(cfg: PlannerConfig, mesh: Mesh):
+def sharded_solve_step(cfg: PlannerConfig, mesh: Mesh,
+                       backend: str = "blast"):
     """Build the sharded batched-solve step (the 'training step' analog):
     per-device vmapped CILQR solves + psum-reduced convergence stats over
     the mesh via shard_map.
@@ -63,7 +64,8 @@ def sharded_solve_step(cfg: PlannerConfig, mesh: Mesh):
     spec = P("batch")
 
     def _local(goals, starts, cons):
-        res = solve_batch(goals, starts, cons, ilqr, veh, dt)
+        res = solve_batch(goals, starts, cons, ilqr, veh, dt,
+                          backend=backend)
         stats = device_metrics(res)
         # ICI collective: global sums across the mesh
         stats = {k: jax.lax.psum(v, "batch") for k, v in stats.items()}

@@ -1,0 +1,560 @@
+"""Batch-last CILQR solver: the TPU-layout formulation of solver.solve.
+
+``jax.vmap(solver.solve)`` puts the scenario batch on the LEADING axis, so
+every per-knot tensor ends up shaped [B, N, 6]/[B, 6, 6]: XLA assigns the
+minor-most dimension to the 128-wide vector lanes, which leaves the lanes
+5/6- to 126/128-empty for this problem's tiny trailing dims, and lowers the
+cost stack's gathers/scatter-adds per batch element. Measured on the v5e
+this runs the solve at ~1% of VPU capability (docs/PERF.md).
+
+This module re-states the same serial-line-search solver (identical
+reference semantics, ilqr_optimizer.cc:154-320) with the batch axis LAST on
+every array — [6, N, B], [T, 6, 6, B], [N, KC, B] — so that:
+
+  * every elementwise op vectorizes over B on the vector lanes at full
+    width;
+  * the 6x6/2x2 Riccati algebra unrolls over the small dims as lane-wide
+    FMAs (no tiny-matmul lowering);
+  * the lane-boundary nearest-segment lookup becomes a masked argmin plus
+    one-hot contraction (no gather);
+  * cost Jacobians/Hessians assemble by stacking components (no
+    scatter-adds).
+
+Semantics match solver.solve(mode='serial') exactly (see
+tests/test_solver_blast.py); this is also the reference implementation for
+the Pallas kernel port.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .barriers import RelaxBarrier
+from .config import IlqrConfig, VehicleParam
+from .costs import ConstraintSet
+from .geometry import normalize_angle
+from .solver import iqr_init, transform_goals
+from .types import CostBreakdown, SolveResult, SolverStatus
+
+# ---------------------------------------------------------------------------
+# batch-last helpers
+# ---------------------------------------------------------------------------
+
+
+def mm(X, Y):
+    """[m, k, B] @ [k, n, B] -> [m, n, B].
+
+    Unrolled broadcast-FMA over the small contraction axis: einsum would
+    lower to dot_general on the 128x128 MXU with 6/128 utilization (~2.6 us
+    per tiny matmul, the dominant cost of the backward sweep); as k
+    broadcast-multiplies this is pure lane-wide VPU work."""
+    acc = X[:, 0, None, :] * Y[0, :, :]
+    for k in range(1, X.shape[1]):
+        acc = acc + X[:, k, None, :] * Y[k, :, :]
+    return acc
+
+
+def mv(X, y):
+    """[m, k, B] @ [k, B] -> [m, B] (unrolled broadcast-FMA)."""
+    acc = X[:, 0, :] * y[0]
+    for k in range(1, X.shape[1]):
+        acc = acc + X[:, k, :] * y[k]
+    return acc
+
+
+def _inv22_bl(M):
+    """Closed-form 2x2 inverse, [2, 2, B]."""
+    a, b = M[0, 0], M[0, 1]
+    c, d = M[1, 0], M[1, 1]
+    inv_det = 1.0 / (a * d - b * c)
+    row0 = jnp.stack([d, -b])
+    row1 = jnp.stack([-c, a])
+    return jnp.stack([row0, row1]) * inv_det
+
+
+def _rk2_bl(x, u, dt, L):
+    """Midpoint step on component-rows: x [6, B], u [2, B]
+    (vehicle_model.cc:107-121)."""
+
+    def f(s):
+        th = normalize_angle(s[2])
+        dl = normalize_angle(s[5])
+        return jnp.stack([
+            s[3] * jnp.cos(th),
+            s[3] * jnp.sin(th),
+            s[3] * jnp.tan(dl) / L,
+            s[4],
+            u[0],
+            u[1],
+        ])
+
+    mid = x + 0.5 * dt * f(x)
+    nxt = x + dt * f(mid)
+    nxt = nxt.at[2].set(normalize_angle(nxt[2]))
+    nxt = nxt.at[5].set(normalize_angle(nxt[5]))
+    return nxt
+
+
+def _jacobians_bl(xs, us, dt, L):
+    """Analytic midpoint Jacobians on [6, T, B]/[2, T, B] components
+    (vehicle_model.cc:44-86 incl. the v-vs-v_mid quirk; see model.py).
+    Returns (A [T, 6, 6, B], Bm [T, 6, 2, B])."""
+    v = xs[3]
+    theta = normalize_angle(xs[2])
+    delta = normalize_angle(xs[5])
+    a = xs[4]
+    delta_rate = us[1]
+
+    theta_mid = theta + 0.5 * dt * v * jnp.tan(delta) / L
+    tan_delta = jnp.tan(delta)
+    tan_delta_rate = jnp.tan(delta + 0.5 * dt * delta_rate)
+    cos_tm = jnp.cos(theta_mid)
+    sin_tm = jnp.sin(theta_mid)
+    td2 = tan_delta * tan_delta
+    tdr2 = tan_delta_rate * tan_delta_rate
+    v_mid = 0.5 * a * dt + v
+
+    z = jnp.zeros_like(v)
+    o = jnp.ones_like(v)
+    A = jnp.stack([
+        jnp.stack([o, z, -dt * v_mid * sin_tm,
+                   dt * cos_tm - 0.5 * dt * dt * v_mid * sin_tm * tan_delta / L,
+                   0.5 * dt * dt * cos_tm,
+                   -0.5 * dt * dt * v * v_mid * (td2 + 1.0) * sin_tm / L]),
+        jnp.stack([z, o, dt * v_mid * cos_tm,
+                   dt * sin_tm + 0.5 * dt * dt * v_mid * cos_tm * tan_delta / L,
+                   0.5 * dt * dt * sin_tm,
+                   0.5 * dt * dt * v * v_mid * (td2 + 1.0) * cos_tm / L]),
+        jnp.stack([z, z, o, dt * tan_delta_rate / L,
+                   0.5 * dt * dt * tan_delta_rate / L,
+                   dt * v * (tdr2 + 1.0) / L]),
+        jnp.stack([z, z, z, o, dt * o, z]),
+        jnp.stack([z, z, z, z, o, z]),
+        jnp.stack([z, z, z, z, z, o]),
+    ])                                              # [6, 6, T, B]
+    Bm = jnp.stack([
+        jnp.stack([z, z]),
+        jnp.stack([z, z]),
+        jnp.stack([z, 0.5 * dt * dt * v * (tdr2 + 1.0) / L]),
+        jnp.stack([0.5 * dt * dt * o, z]),
+        jnp.stack([dt * o, z]),
+        jnp.stack([z, dt * o]),
+    ])                                              # [6, 2, T, B]
+    return jnp.moveaxis(A, 2, 0), jnp.moveaxis(Bm, 2, 0)
+
+
+# ---------------------------------------------------------------------------
+# constraints in batch-last layout
+# ---------------------------------------------------------------------------
+
+
+class ConsBL(NamedTuple):
+    """ConstraintSet transposed to batch-last component arrays."""
+
+    ca: jnp.ndarray     # corridor a [N, KC, B]
+    cb: jnp.ndarray
+    cc: jnp.ndarray
+    cm: jnp.ndarray     # corridor mask [N, KC, B] (bool)
+    lanes: tuple        # per side: (a [S,B], b, c, x1, y1, x2, y2, m [S,B])
+
+
+def cons_to_bl(cons: ConstraintSet) -> ConsBL:
+    """[B, ...] ConstraintSet -> batch-last components (one transpose at
+    solve entry; everything inside the loop then stays batch-last)."""
+
+    def side(planes, segs, mask):
+        a = jnp.moveaxis(planes[..., 0], 0, -1)
+        b = jnp.moveaxis(planes[..., 1], 0, -1)
+        c = jnp.moveaxis(planes[..., 2], 0, -1)
+        x1 = jnp.moveaxis(segs[..., 0, 0], 0, -1)
+        y1 = jnp.moveaxis(segs[..., 0, 1], 0, -1)
+        x2 = jnp.moveaxis(segs[..., 1, 0], 0, -1)
+        y2 = jnp.moveaxis(segs[..., 1, 1], 0, -1)
+        m = jnp.moveaxis(mask, 0, -1)
+        return (a, b, c, x1, y1, x2, y2, m)
+
+    return ConsBL(
+        ca=jnp.moveaxis(cons.corridor_planes[..., 0], 0, -1),
+        cb=jnp.moveaxis(cons.corridor_planes[..., 1], 0, -1),
+        cc=jnp.moveaxis(cons.corridor_planes[..., 2], 0, -1),
+        cm=jnp.moveaxis(cons.corridor_mask, 0, -1),
+        lanes=(side(cons.left_planes, cons.left_segs, cons.left_mask),
+               side(cons.right_planes, cons.right_segs, cons.right_mask)),
+    )
+
+
+def _disc_offsets(cfg: IlqrConfig, veh: VehicleParam, dtype):
+    D = cfg.num_of_disc
+    L = veh.length / D
+    return L * (jnp.arange(D, dtype=dtype) - 0.5) - veh.rear_hang_length
+
+
+def _nearest_lane_sel(cx, cy, lane):
+    """Masked-argmin nearest segment + one-hot plane selection (replaces
+    the gather in costs._nearest_lane_plane). cx, cy [N, B];
+    returns (a, b, c) each [N, B]."""
+    from .geometry import point_segment_distance
+
+    a, b, c, x1, y1, x2, y2, m = lane
+    # identical fp ops to costs._nearest_lane_plane so argmin ties break
+    # the same way; elementwise over [N, S, B]
+    d = point_segment_distance(cx[:, None, :], cy[:, None, :],
+                               x1[None], y1[None], x2[None], y2[None])
+    d = jnp.where(m[None], d, jnp.inf)
+    idx = jnp.argmin(d, axis=1)                        # [N, B]
+    S = a.shape[0]
+    onehot = (jax.lax.broadcasted_iota(jnp.int32, (1, S, 1), 1)
+              == idx[:, None, :])
+    sel = lambda p: jnp.sum(jnp.where(onehot, p[None], 0.0), axis=1)
+    return sel(a), sel(b), sel(c)
+
+
+def _cost_stack_bl(xs, us, goals, cbl: ConsBL, cfg, veh, want_derivs):
+    """Cost components [B] (+ optionally Jx [N,6,B], Ju [T,2,B],
+    Hx [N,6,6,B], Hu [T,2,2,B]) — TotalCost / CostJacbian / CostHessian
+    (ilqr_optimizer.cc:417-769) in batch-last form, no gathers/scatters."""
+    bar = RelaxBarrier(cfg.barrier.t, cfg.barrier.epsilon)
+    w = cfg.weights
+    dtype = xs.dtype
+    N = xs.shape[1]
+    T = us.shape[1]
+    B = xs.shape[2]
+
+    dx = xs[0] - goals[0]
+    dy = xs[1] - goals[1]
+    dth = xs[2] - goals[2]
+    j_cost = jnp.sum(w.x_target * dx * dx + w.y_target * dy * dy
+                     + w.theta * dth * dth, axis=0)
+    j_cost = j_cost + jnp.sum(w.jerk * us[0] ** 2
+                              + w.delta_rate * us[1] ** 2, axis=0)
+
+    # state/control limit constraint values g <= 0 (order as costs.py)
+    gx = [(-xs[3], 3, -1.0), (xs[3] - veh.max_velocity, 3, 1.0),
+          (xs[4] - veh.max_acceleration, 4, 1.0),
+          (veh.min_acceleration - xs[4], 4, -1.0),
+          (xs[5] - veh.delta_max, 5, 1.0), (veh.delta_min - xs[5], 5, -1.0)]
+    gu = [(us[0] - veh.jerk_max, 0, 1.0), (veh.jerk_min - us[0], 0, -1.0),
+          (us[1] - veh.delta_rate_max, 1, 1.0),
+          (veh.delta_rate_min - us[1], 1, -1.0)]
+    dyn_cost = (sum(jnp.sum(bar.value(g), axis=0) for g, _, _ in gx)
+                + sum(jnp.sum(bar.value(g), axis=0) for g, _, _ in gu))
+
+    # disc geometry [D] offsets; per-disc centers [N, B]
+    offs = _disc_offsets(cfg, veh, dtype)
+    ct = jnp.cos(xs[2])
+    st = jnp.sin(xs[2])
+
+    corr_cost = jnp.zeros((B,), dtype)
+    lane_cost = jnp.zeros((B,), dtype)
+
+    if want_derivs:
+        jx = [jnp.zeros((N, B), dtype) for _ in range(6)]
+        hx = {}
+
+        def hadd(i, j, v):
+            hx[(i, j)] = hx.get((i, j), 0.0) + v
+
+        jx[0] = 2.0 * w.x_target * dx
+        jx[1] = 2.0 * w.y_target * dy
+        jx[2] = 2.0 * w.theta * dth
+        ju0 = 2.0 * w.jerk * us[0]
+        ju1 = 2.0 * w.delta_rate * us[1]
+        hadd(0, 0, jnp.full((N, B), 2.0 * w.x_target, dtype))
+        hadd(1, 1, jnp.full((N, B), 2.0 * w.y_target, dtype))
+        hadd(2, 2, jnp.full((N, B), 2.0 * w.theta, dtype))
+        hadd(3, 3, jnp.full((N, B), 2.0 * w.v, dtype))
+        hadd(4, 4, jnp.full((N, B), 2.0 * w.a, dtype))
+        hadd(5, 5, jnp.full((N, B), 2.0 * w.delta, dtype))
+        hu = {(0, 0): jnp.full((T, B), 2.0 * w.jerk, dtype),
+              (1, 1): jnp.full((T, B), 2.0 * w.delta_rate, dtype)}
+
+        for g, i, s in gx:
+            jx[i] = jx[i] + bar.grad_factor(g) * s
+            hadd(i, i, bar.hess_factors(g)[0])
+        for g, i, s in gu:
+            if i == 0:
+                ju0 = ju0 + bar.grad_factor(g) * s
+            else:
+                ju1 = ju1 + bar.grad_factor(g) * s
+            hu[(i, i)] = hu[(i, i)] + bar.hess_factors(g)[0]
+
+    D = int(offs.shape[0])
+    for d in range(D):
+        lc = offs[d] * ct                              # [N, B]
+        ls = offs[d] * st
+        cxd = xs[0] + lc
+        cyd = xs[1] + ls
+
+        # corridor barriers over [N, KC, B]
+        g = (cbl.ca * cxd[:, None] + cbl.cb * cyd[:, None] - cbl.cc)
+        val = jnp.where(cbl.cm, bar.value(g), 0.0)
+        corr_cost = corr_cost + jnp.sum(val, axis=(0, 1))
+        if want_derivs:
+            dthk = -cbl.ca * ls[:, None] + cbl.cb * lc[:, None]
+            gf = jnp.where(cbl.cm, bar.grad_factor(g), 0.0)
+            hf, hddx = bar.hess_factors(g)
+            hf = jnp.where(cbl.cm, hf, 0.0)
+            hddx = jnp.where(cbl.cm, hddx, 0.0)
+            ddx22 = -cbl.ca * lc[:, None] - cbl.cb * ls[:, None]
+            jx[0] = jx[0] + jnp.sum(gf * cbl.ca, axis=1)
+            jx[1] = jx[1] + jnp.sum(gf * cbl.cb, axis=1)
+            jx[2] = jx[2] + jnp.sum(gf * dthk, axis=1)
+            comps = (cbl.ca, cbl.cb, dthk)
+            for i in range(3):
+                for j in range(i, 3):
+                    hadd(i, j, jnp.sum(hf * comps[i] * comps[j], axis=1))
+            hadd(2, 2, jnp.sum(hddx * ddx22, axis=1))
+
+        # lane barriers (nearest-segment one-hot)
+        for lane in cbl.lanes:
+            la, lb, lcc = _nearest_lane_sel(cxd, cyd, lane)
+            lg = la * cxd + lb * cyd - lcc
+            lane_cost = lane_cost + jnp.sum(bar.value(lg), axis=0)
+            if want_derivs:
+                ldth = -la * ls + lb * lc
+                lgf = bar.grad_factor(lg)
+                lhf, lhd = bar.hess_factors(lg)
+                lddx22 = -la * lc - lb * ls
+                jx[0] = jx[0] + lgf * la
+                jx[1] = jx[1] + lgf * lb
+                jx[2] = jx[2] + lgf * ldth
+                lcmp = (la, lb, ldth)
+                for i in range(3):
+                    for j in range(i, 3):
+                        hadd(i, j, lhf * lcmp[i] * lcmp[j])
+                hadd(2, 2, lhd * lddx22)
+
+    cost = CostBreakdown(total=j_cost + dyn_cost + corr_cost + lane_cost,
+                         target=j_cost, dynamic=dyn_cost,
+                         corridor=corr_cost, lane=lane_cost)
+    if not want_derivs:
+        return cost
+
+    zeros_nb = jnp.zeros((N, B), dtype)
+    Jx = jnp.stack(jx, axis=1)                          # [N, 6, B]
+    Hx = jnp.stack([
+        jnp.stack([hx.get((min(i, j), max(i, j)), zeros_nb)
+                   for j in range(6)], axis=1)
+        for i in range(6)], axis=1)                     # [N, 6, 6, B]
+    zeros_tb = jnp.zeros((T, B), dtype)
+    Ju = jnp.stack([ju0, ju1], axis=1)                  # [T, 2, B]
+    Hu = jnp.stack([
+        jnp.stack([hu.get((min(i, j), max(i, j)), zeros_tb)
+                   for j in range(2)], axis=1)
+        for i in range(2)], axis=1)                     # [T, 2, 2, B]
+    return cost, Jx, Ju, Hx, Hu
+
+
+# ---------------------------------------------------------------------------
+# Riccati backward / forward (batch-last)
+# ---------------------------------------------------------------------------
+
+
+def _backward_bl(lam, A, Bm, Jx, Ju, Hx, Hu, unroll=1):
+    """Riccati sweep (ilqr_optimizer.cc:334-390). lam [B];
+    A [T,6,6,B], Bm [T,6,2,B], Jx [N,6,B], Ju [T,2,B], Hx [N,6,6,B],
+    Hu [T,2,2,B] -> (Ks [T,2,6,B], ks [T,2,B], dV0 [B], dV1 [B])."""
+    dtype = A.dtype
+    B_ = A.shape[-1]
+    eye2 = jnp.eye(2, dtype=dtype)[..., None]
+
+    def step(carry, inp):
+        Vx, Vxx, dV0, dV1 = carry
+        Ai, Bi, Jxi, Jui, Hxi, Hui = inp
+        At = jnp.swapaxes(Ai, 0, 1)
+        Bt = jnp.swapaxes(Bi, 0, 1)
+        Qx = Jxi + mv(At, Vx)
+        Qu = Jui + mv(Bt, Vx)
+        AtV = mm(At, Vxx)
+        Qxx = Hxi + mm(AtV, Ai)
+        BtV = mm(Bt, Vxx)
+        Quu = Hui + mm(BtV, Bi)
+        Qux = mm(BtV, Ai)
+        Quu_inv = _inv22_bl(Quu + lam * eye2)
+        K = -mm(Quu_inv, Qux)
+        k = -mv(Quu_inv, Qu)
+        Kt = jnp.swapaxes(K, 0, 1)
+        Quk = mv(Quu, k)
+        Vx_n = Qx + mv(Kt, Quk) + mv(Kt, Qu) + mv(jnp.swapaxes(Qux, 0, 1), k)
+        Vxx_n = Qxx + mm(Kt, mm(Quu, K)) + mm(Kt, Qux) \
+            + mm(jnp.swapaxes(Qux, 0, 1), K)
+        Vxx_n = 0.5 * (Vxx_n + jnp.swapaxes(Vxx_n, 0, 1))
+        dV0 = dV0 + jnp.sum(k * Qu, axis=0)
+        dV1 = dV1 + 0.5 * jnp.sum(k * Quk, axis=0)
+        return (Vx_n, Vxx_n, dV0, dV1), (K, k)
+
+    zero = jnp.zeros((B_,), dtype)
+    (_, _, dV0, dV1), (Ks, ks) = jax.lax.scan(
+        step, (Jx[-1], Hx[-1], zero, zero),
+        (A, Bm, Jx[:-1], Ju, Hx[:-1], Hu), reverse=True, unroll=unroll)
+    return Ks, ks, dV0, dV1
+
+
+def _forward_bl(alpha, xs, us, Ks, ks, goals, dt, L, unroll=1):
+    """Closed-loop rollout (ilqr_optimizer.cc:392-415) with per-LANE alpha
+    [B] (serial mode: lanes sit at different alpha indices). xs [6,N,B]."""
+    x0 = goals[:, 0]
+
+    def step(x, inp):
+        ui, Ki, ki, xi = inp
+        u = ui + mv(Ki, x - xi) + alpha * ki
+        u = u.at[1].set(normalize_angle(u[1]))
+        nxt = _rk2_bl(x, u, dt, L)
+        return nxt, (nxt, u)
+
+    xs_t = jnp.moveaxis(xs, 1, 0)                      # [N, 6, B]
+    us_t = jnp.moveaxis(us, 1, 0)                      # [T, 2, B]
+    _, (xs_tail, new_us) = jax.lax.scan(
+        step, x0, (us_t, Ks, ks, xs_t[:-1]), unroll=unroll)
+    new_xs = jnp.concatenate([x0[None], xs_tail], axis=0)
+    return jnp.moveaxis(new_xs, 0, 1), jnp.moveaxis(new_us, 0, 1)
+
+
+# ---------------------------------------------------------------------------
+# outer loop (serial line search, per-lane carries)
+# ---------------------------------------------------------------------------
+
+
+class _CarryBL(NamedTuple):
+    xs: jnp.ndarray        # [6, N, B]
+    us: jnp.ndarray        # [2, T, B]
+    cost: CostBreakdown    # [B] leaves
+    lam: jnp.ndarray       # [B]
+    dlam: jnp.ndarray
+    status: jnp.ndarray    # [B] int32
+    it: jnp.ndarray        # [B] int32
+    aidx: jnp.ndarray      # [B] int32
+
+
+def solve_batch_bl(goals_bf, starts, cons: ConstraintSet,
+                   cfg: IlqrConfig, veh: VehicleParam, dt,
+                   warm_start=None) -> SolveResult:
+    """Batched solve, batch-last internals. goals_bf [B, N, 6],
+    starts [B, 6], cons leaves [B, ...]. Returns batch-first SolveResult
+    bitwise-equivalent in semantics to vmap(solver.solve) in serial mode."""
+    dtype = goals_bf.dtype
+    B = goals_bf.shape[0]
+    reg = cfg.reg
+    alphas = jnp.asarray(cfg.line_search.alphas, dtype)
+    n_alpha = len(cfg.line_search.alphas)
+
+    goals_first = jax.vmap(transform_goals)(goals_bf, starts)
+    if warm_start is None:
+        xs0_bf, us0_bf = jax.vmap(
+            lambda g: iqr_init(g, cfg, veh, dt))(goals_first)
+    else:
+        xs0_bf, us0_bf = warm_start
+
+    # one-time layout change
+    goals = jnp.moveaxis(jnp.moveaxis(goals_first, 0, -1), 1, 0)  # [6,N,B]
+    xs0 = jnp.moveaxis(jnp.moveaxis(xs0_bf, 0, -1), 1, 0)
+    us0 = jnp.moveaxis(jnp.moveaxis(us0_bf, 0, -1), 1, 0)
+    cbl = cons_to_bl(cons)
+
+    cost0 = _cost_stack_bl(xs0, us0, goals, cbl, cfg, veh, False)
+
+    T_ = goals_bf.shape[1] - 1
+    unroll = cfg.scan_unroll or (T_ if jax.default_backend() != "cpu" else 1)
+    unroll = min(unroll, T_)
+
+    def body(c: _CarryBL) -> _CarryBL:
+        A, Bm = _jacobians_bl(c.xs[:, :-1], c.us, dt, veh.wheel_base)
+        cost_d = _cost_stack_bl(c.xs, c.us, goals, cbl, cfg, veh, True)
+        _, Jx, Ju, Hx, Hu = cost_d
+        Ks, ks, dV0, dV1 = _backward_bl(c.lam, A, Bm, Jx, Ju, Hx, Hu,
+                                        unroll=unroll)
+        gnorm = jnp.mean(jnp.max(jnp.abs(ks) / (jnp.abs(
+            jnp.moveaxis(c.us, 1, 0)) + 1.0), axis=1), axis=0)
+        gnorm_done = (gnorm < reg.gradient_norm_min) & (c.lam < 1e-5)
+
+        a = alphas[c.aidx]                                # [B]
+        nxs, nus = _forward_bl(a, c.xs, c.us, Ks, ks, goals, dt,
+                               veh.wheel_base, unroll=unroll)
+        ncost = _cost_stack_bl(nxs, nus, goals, cbl, cfg, veh, False)
+        dcost = c.cost.total - ncost.total
+        expected = -a * (dV0 + a * dV1)
+        z = dcost / expected
+        accept = ((z > cfg.line_search.beta_min) &
+                  (z < cfg.line_search.beta_max) & (dcost > 0.0))
+        last_alpha = c.aidx == (n_alpha - 1)
+        full_reject = (~accept) & last_alpha
+        concluded = accept | full_reject
+
+        dlam_acc = jnp.minimum(c.dlam / reg.ratio, 1.0 / reg.ratio)
+        lam_acc = c.lam * dlam_acc * (c.lam > reg.lambda_min).astype(dtype)
+        conv_abs = dcost < cfg.abs_cost_tol
+        conv_rel = (dcost / c.cost.total) < cfg.rel_cost_tol
+        status_acc = jnp.where(
+            conv_abs, SolverStatus.SUCCESS_ABS_COST,
+            jnp.where(conv_rel, SolverStatus.SUCCESS_REL_COST,
+                      SolverStatus.RUNNING))
+        dlam_rej = jnp.maximum(c.dlam * reg.ratio, reg.ratio)
+        lam_rej = jnp.maximum(c.lam * dlam_rej, reg.lambda_min)
+        status_rej = jnp.where(lam_rej > reg.lambda_max,
+                               SolverStatus.FAIL_LAMBDA_MAX,
+                               SolverStatus.RUNNING)
+
+        def pick3(on_acc, on_rej, on_adv):
+            return jnp.where(accept, on_acc,
+                             jnp.where(full_reject, on_rej, on_adv))
+
+        new = _CarryBL(
+            xs=jnp.where(accept, nxs, c.xs),
+            us=jnp.where(accept, nus, c.us),
+            cost=jax.tree.map(lambda n, o: jnp.where(accept, n, o),
+                              ncost, c.cost),
+            lam=pick3(lam_acc, lam_rej, c.lam),
+            dlam=pick3(dlam_acc, dlam_rej, c.dlam),
+            status=pick3(status_acc, status_rej,
+                         jnp.int32(SolverStatus.RUNNING)).astype(jnp.int32),
+            it=c.it + concluded.astype(jnp.int32),
+            aidx=jnp.where(concluded, 0, c.aidx + 1).astype(jnp.int32),
+        )
+
+        def keep_gnorm(n, o):
+            return jnp.where(gnorm_done, o, n)
+
+        new = _CarryBL(
+            xs=keep_gnorm(new.xs, c.xs),
+            us=keep_gnorm(new.us, c.us),
+            cost=jax.tree.map(keep_gnorm, new.cost, c.cost),
+            lam=keep_gnorm(new.lam, c.lam),
+            dlam=keep_gnorm(new.dlam, c.dlam),
+            status=jnp.where(gnorm_done,
+                             jnp.int32(SolverStatus.SUCCESS_GNORM),
+                             new.status),
+            it=jnp.where(gnorm_done, c.it + 1, new.it),
+            aidx=jnp.where(gnorm_done, 0, new.aidx).astype(jnp.int32),
+        )
+
+        # freeze non-RUNNING lanes
+        running = c.status == SolverStatus.RUNNING
+
+        def frz(n, o):
+            return jnp.where(running, n, o)
+
+        return jax.tree.map(frz, new, c)
+
+    def cond(c: _CarryBL):
+        return ((c.status == SolverStatus.RUNNING)
+                & (c.it < cfg.max_iter_num)).any()
+
+    init = _CarryBL(
+        xs=xs0, us=us0, cost=cost0,
+        lam=jnp.full((B,), reg.lambda_init, dtype),
+        dlam=jnp.ones((B,), dtype),
+        status=jnp.full((B,), SolverStatus.RUNNING, jnp.int32),
+        it=jnp.zeros((B,), jnp.int32),
+        aidx=jnp.zeros((B,), jnp.int32))
+
+    final = jax.lax.while_loop(cond, body, init)
+    status = jnp.where(final.status == SolverStatus.RUNNING,
+                       jnp.int32(SolverStatus.MAX_ITER), final.status)
+    xs_bf = jnp.moveaxis(jnp.moveaxis(final.xs, 0, 1), -1, 0)  # [B, N, 6]
+    us_bf = jnp.moveaxis(jnp.moveaxis(final.us, 0, 1), -1, 0)
+    return SolveResult(xs=xs_bf, us=us_bf, status=status, iters=final.it,
+                       cost=final.cost, lam=final.lam,
+                       init_xs=xs0_bf, init_us=us0_bf)

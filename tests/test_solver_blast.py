@@ -1,0 +1,85 @@
+"""Batch-last solver (solver_blast) parity: must reproduce the vmapped
+serial solver decision-for-decision (same iteration counts and statuses;
+controls to fp-reassociation tolerance) and independently pass the native
+oracle gate."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cilqr_tpu import costs as C
+from cilqr_tpu import solver as S
+from cilqr_tpu.batch import solve_batch
+from cilqr_tpu.config import IlqrConfig, VehicleParam
+from cilqr_tpu.solver_blast import solve_batch_bl
+
+from test_native_parity import _problem
+
+VEH = VehicleParam()
+CFG = IlqrConfig()
+DT = 0.1
+
+
+def _batch_from_problems(seeds):
+    gs, cs, ss = [], [], []
+    for seed in seeds:
+        goals, planes, mask, lp, ls, rp, rs, m, start = _problem(seed)
+        cons = C.shrink_and_normalize(
+            jnp.asarray(planes), jnp.asarray(mask), jnp.asarray(lp),
+            jnp.asarray(ls), jnp.asarray(m), jnp.asarray(rp),
+            jnp.asarray(rs), jnp.asarray(m), CFG, VEH)
+        gs.append(jnp.asarray(goals))
+        cs.append(cons)
+        ss.append(jnp.asarray(start))
+    goals_b = jnp.stack(gs)
+    starts_b = jnp.stack(ss)
+    cons_b = jax.tree.map(lambda *a: jnp.stack(a), *cs)
+    return goals_b, starts_b, cons_b
+
+
+def test_blast_matches_vmap_serial():
+    goals_b, starts_b, cons_b = _batch_from_problems(range(6))
+    res_v = solve_batch(goals_b, starts_b, cons_b, CFG, VEH, DT)
+    res_b = solve_batch_bl(goals_b, starts_b, cons_b, CFG, VEH, DT)
+    np.testing.assert_array_equal(np.asarray(res_v.iters),
+                                  np.asarray(res_b.iters))
+    np.testing.assert_array_equal(np.asarray(res_v.status),
+                                  np.asarray(res_b.status))
+    np.testing.assert_allclose(np.asarray(res_b.us), np.asarray(res_v.us),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(res_b.init_us),
+                               np.asarray(res_v.init_us), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(res_b.cost.total),
+                               np.asarray(res_v.cost.total), rtol=1e-6)
+
+
+def test_blast_oracle_gate():
+    """Same gate as test_native_parity.test_solver_control_parity, run
+    against the batch-last implementation directly."""
+    from cilqr_tpu.native import bindings as NB
+
+    goals_b, starts_b, cons_b = _batch_from_problems(range(4))
+    res = solve_batch_bl(goals_b, starts_b, cons_b, CFG, VEH, DT)
+    for i in range(goals_b.shape[0]):
+        goals_t = np.asarray(S.transform_goals(goals_b[i], starts_b[i]))
+        cons = jax.tree.map(lambda a: a[i], cons_b)
+        ref = NB.ref_solve(
+            goals_t, np.asarray(cons.corridor_planes),
+            np.asarray(cons.corridor_mask), np.asarray(cons.left_planes),
+            np.asarray(cons.left_segs), np.asarray(cons.left_mask),
+            np.asarray(cons.right_planes), np.asarray(cons.right_segs),
+            np.asarray(cons.right_mask), CFG, VEH, DT)
+        assert int(res.status[i]) == ref.status
+        max_dev = np.max(np.abs(np.asarray(res.us[i]) - ref.us))
+        assert max_dev < 1e-3, f"lane {i}: control deviation {max_dev}"
+
+
+def test_blast_jit_and_shapes():
+    goals_b, starts_b, cons_b = _batch_from_problems(range(2))
+    res = jax.jit(lambda g, s, c: solve_batch_bl(g, s, c, CFG, VEH, DT))(
+        goals_b, starts_b, cons_b)
+    assert res.xs.shape == (2, 81, 6)
+    assert res.us.shape == (2, 80, 2)
+    assert res.cost.total.shape == (2,)
+    assert np.all(np.asarray(res.status) != 0)
