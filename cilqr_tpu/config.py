@@ -150,6 +150,13 @@ class IlqrConfig:
     # TPU, no unroll on CPU (where loop overhead is negligible and the
     # unrolled compile is 5x slower).
     scan_unroll: int = 0
+    # Riccati backward+forward sweep implementation (solver_blast):
+    # 'pallas' = fused VMEM-resident kernel (pallas/sweep.py) — the
+    # sequential 160-step chain runs at on-chip latency instead of XLA's
+    # ~9 us/step HBM carry round-trip; 'xla' = lax.scan sweeps; 'auto' =
+    # pallas on TPU when the batch is a multiple of its 128-lane block,
+    # else xla.
+    sweep_backend: str = "auto"
 
 
 @dataclasses.dataclass(frozen=True)

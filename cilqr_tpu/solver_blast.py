@@ -459,20 +459,37 @@ def solve_batch_bl(goals_bf, starts, cons: ConstraintSet,
     T_ = goals_bf.shape[1] - 1
     unroll = cfg.scan_unroll or (T_ if jax.default_backend() != "cpu" else 1)
     unroll = min(unroll, T_)
+    if cfg.sweep_backend == "auto":
+        from .pallas.sweep import NB as _NB
+
+        use_pallas = (jax.default_backend() != "cpu") and (B % _NB == 0)
+    else:
+        use_pallas = cfg.sweep_backend == "pallas"
 
     def body(c: _CarryBL) -> _CarryBL:
         A, Bm = _jacobians_bl(c.xs[:, :-1], c.us, dt, veh.wheel_base)
         cost_d = _cost_stack_bl(c.xs, c.us, goals, cbl, cfg, veh, True)
         _, Jx, Ju, Hx, Hu = cost_d
-        Ks, ks, dV0, dV1 = _backward_bl(c.lam, A, Bm, Jx, Ju, Hx, Hu,
-                                        unroll=unroll)
-        gnorm = jnp.mean(jnp.max(jnp.abs(ks) / (jnp.abs(
-            jnp.moveaxis(c.us, 1, 0)) + 1.0), axis=1), axis=0)
-        gnorm_done = (gnorm < reg.gradient_norm_min) & (c.lam < 1e-5)
-
         a = alphas[c.aidx]                                # [B]
-        nxs, nus = _forward_bl(a, c.xs, c.us, Ks, ks, goals, dt,
-                               veh.wheel_base, unroll=unroll)
+        if use_pallas:
+            from .pallas.sweep import riccati_sweep
+
+            nxs_km, nus_tm, dV0, dV1, gnorm = riccati_sweep(
+                c.lam, a, A, Bm, Jx, Ju, Hx, Hu,
+                jnp.moveaxis(c.xs, 0, 1), jnp.moveaxis(c.us, 0, 1),
+                dt=dt, wheel_base=veh.wheel_base,
+                interpret=jax.default_backend() == "cpu")
+            nxs = jnp.moveaxis(nxs_km, 0, 1)
+            nus = jnp.moveaxis(nus_tm, 0, 1)
+            gnorm_done = (gnorm < reg.gradient_norm_min) & (c.lam < 1e-5)
+        else:
+            Ks, ks, dV0, dV1 = _backward_bl(c.lam, A, Bm, Jx, Ju, Hx, Hu,
+                                            unroll=unroll)
+            gnorm = jnp.mean(jnp.max(jnp.abs(ks) / (jnp.abs(
+                jnp.moveaxis(c.us, 1, 0)) + 1.0), axis=1), axis=0)
+            gnorm_done = (gnorm < reg.gradient_norm_min) & (c.lam < 1e-5)
+            nxs, nus = _forward_bl(a, c.xs, c.us, Ks, ks, goals, dt,
+                                   veh.wheel_base, unroll=unroll)
         ncost = _cost_stack_bl(nxs, nus, goals, cbl, cfg, veh, False)
         dcost = c.cost.total - ncost.total
         expected = -a * (dV0 + a * dV1)
