@@ -27,10 +27,20 @@ def solve_batch(goals, starts, cons: ConstraintSet, cfg, veh, dt,
 
     backend='blast' (default): batch-last layout solver
     (solver_blast.solve_batch_bl) — full vector-lane utilization on TPU.
+    backend='mega': full-solve Pallas megakernel (pallas/megasolve.py) —
+    the entire outer loop VMEM-resident per 128-lane block; fastest on
+    TPU; near-parity (line-search decisions can flip on threshold lanes
+    due to fp reassociation, docs/PERF.md).
     backend='vmap': jax.vmap of the single-problem solver — the semantic
     reference (identical decisions; controls agree to fp-reassociation
     noise, tests/test_solver_blast.py).
     """
+    if backend == "mega":
+        from .pallas.megasolve import solve_batch_mega
+
+        return solve_batch_mega(goals, starts, cons, cfg, veh, dt,
+                                warm_start=warm_start,
+                                interpret=jax.default_backend() == "cpu")
     if backend == "blast":
         from .solver_blast import solve_batch_bl
 
