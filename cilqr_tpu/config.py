@@ -150,6 +150,23 @@ class IlqrConfig:
     # TPU, no unroll on CPU (where loop overhead is negligible and the
     # unrolled compile is 5x slower).
     scan_unroll: int = 0
+    # Per-knot lane-segment window width (batch-last solver only). The
+    # reference scans every lane segment per disc per knot
+    # (FindNeastLaneSegment, ilqr_optimizer.cc:605-618) — O(N*D*S) distance
+    # evaluations per solver trip, the single largest op in the cost stack
+    # (docs/PERF.md). A window of W segments centered on the segment
+    # nearest each knot's GOAL position is selection-identical as long as
+    # the runtime euclidean-nearest segment stays inside the window.
+    # Caveat: on tightly curved roads (arc radius comparable to the
+    # vehicle's lateral freedom) the euclidean argmin can jump across the
+    # curve to a segment far away in index space; a 40 m guaranteed margin
+    # (exact W=16) flips one fixture lane's selection, 55+ m margins
+    # (exact W=24, quantized W=32) match the full scan on every fixture
+    # problem. Window starts are quantized to W/4-strided variants so the
+    # construction is gather-free (see solver_blast.cons_to_bl); the
+    # guaranteed margin is (W/2 - W/8) segments. 0 = full scan. Windows
+    # apply only when W < S.
+    lane_window: int = 32
     # Riccati backward+forward sweep implementation (solver_blast):
     # 'pallas' = fused VMEM-resident kernel (pallas/sweep.py) — the
     # sequential 160-step chain runs at on-chip latency instead of XLA's

@@ -35,7 +35,7 @@ import jax.numpy as jnp
 from .barriers import RelaxBarrier
 from .config import IlqrConfig, VehicleParam
 from .costs import ConstraintSet
-from .geometry import normalize_angle
+from .geometry import normalize_angle, point_segment_distance
 from .solver import iqr_init, transform_goals
 from .types import CostBreakdown, SolveResult, SolverStatus
 
@@ -158,15 +158,37 @@ class ConsBL(NamedTuple):
     cb: jnp.ndarray
     cc: jnp.ndarray
     cm: jnp.ndarray     # corridor mask [N, KC, B] (bool)
-    lanes: tuple        # per side: (a [S,B], b, c, x1, y1, x2, y2, m [S,B])
+    lanes: tuple        # per side: (a, b, c, x1, y1, x2, y2, m), each
+                        # [S, B] (shared) or [N, W, B] (per-knot window)
 
 
-def cons_to_bl(cons: ConstraintSet) -> ConsBL:
+def cons_to_bl(cons: ConstraintSet, goals_bl=None, lane_window: int = 0
+               ) -> ConsBL:
     """[B, ...] ConstraintSet -> batch-last components (one transpose at
-    solve entry; everything inside the loop then stays batch-last)."""
+    solve entry; everything inside the loop then stays batch-last). With
+    0 < lane_window < S and goals given (batch-last [6, N, B]), lane
+    constraints become per-knot windows [N, W, B] of W segments centered
+    on the segment nearest each knot's GOAL position.
+
+    Selection-identical to the reference's full scan
+    (ilqr_optimizer.cc:605-618) while the trajectory's runtime-nearest
+    segment stays inside the window (IlqrConfig.lane_window documents the
+    curvature caveat); the window center is always a valid (unmasked)
+    segment, so a valid plane is always selectable.
+
+    Window construction is gather-free: per-element gathers measured
+    31-100 ms/solve of prep on TPU (batch-first gather + batch-to-minor
+    transpose, or batch-last take_along_axis). Instead the window start
+    is QUANTIZED to a small grid of static slice variants (stride W/4),
+    and each knot one-hot-selects its variant — pure elementwise over
+    [N, W, B]. Quantization costs at most W/8 segments of margin on each
+    side: guaranteed margin >= W/2 - W/8 segments (W=32 -> 12 segments =
+    60 m with the default 5 m lane_segment_length — equal to the exact
+    W=24 centering validated against the full scan on every fixture
+    problem)."""
 
     def side(planes, segs, mask):
-        a = jnp.moveaxis(planes[..., 0], 0, -1)
+        a = jnp.moveaxis(planes[..., 0], 0, -1)            # [S, B]
         b = jnp.moveaxis(planes[..., 1], 0, -1)
         c = jnp.moveaxis(planes[..., 2], 0, -1)
         x1 = jnp.moveaxis(segs[..., 0, 0], 0, -1)
@@ -174,7 +196,39 @@ def cons_to_bl(cons: ConstraintSet) -> ConsBL:
         x2 = jnp.moveaxis(segs[..., 1, 0], 0, -1)
         y2 = jnp.moveaxis(segs[..., 1, 1], 0, -1)
         m = jnp.moveaxis(mask, 0, -1)
-        return (a, b, c, x1, y1, x2, y2, m)
+        S = a.shape[0]
+        W = lane_window
+        if goals_bl is None or not (0 < W < S):
+            return (a, b, c, x1, y1, x2, y2, m)
+        gx = goals_bl[0][:, None, :]                       # [N, 1, B]
+        gy = goals_bl[1][:, None, :]
+        d = point_segment_distance(gx, gy, x1[None], y1[None],
+                                   x2[None], y2[None])     # [N, S, B]
+        d = jnp.where(m[None], d, jnp.inf)
+        w0 = jnp.clip(jnp.argmin(d, axis=1) - W // 2, 0, S - W)  # [N, B]
+
+        q = max(1, W // 4)
+        ks = list(range(0, S - W + 1, q))
+        if ks[-1] != S - W:
+            ks.append(S - W)
+        # nearest variant start per knot (strictly-less keeps the first)
+        best = jnp.zeros_like(w0)
+        bestd = jnp.abs(w0 - ks[0])
+        for i, k in enumerate(ks[1:], 1):
+            dk = jnp.abs(w0 - k)
+            upd = dk < bestd
+            bestd = jnp.where(upd, dk, bestd)
+            best = jnp.where(upd, i, best)
+
+        def win(v):
+            out = jnp.broadcast_to(v[ks[0]:ks[0] + W][None],
+                                   (w0.shape[0], W, v.shape[1]))
+            for i, k in enumerate(ks[1:], 1):
+                sel = (best == i)[:, None, :]              # [N, 1, B]
+                out = jnp.where(sel, v[k:k + W][None], out)
+            return out                                     # [N, W, B]
+
+        return tuple(win(v) for v in (a, b, c, x1, y1, x2, y2, m))
 
     return ConsBL(
         ca=jnp.moveaxis(cons.corridor_planes[..., 0], 0, -1),
@@ -195,20 +249,22 @@ def _disc_offsets(cfg: IlqrConfig, veh: VehicleParam, dtype):
 def _nearest_lane_sel(cx, cy, lane):
     """Masked-argmin nearest segment + one-hot plane selection (replaces
     the gather in costs._nearest_lane_plane). cx, cy [N, B];
-    returns (a, b, c) each [N, B]."""
-    from .geometry import point_segment_distance
-
+    returns (a, b, c) each [N, B]. Lane arrays are [S, B] (shared across
+    knots) or [N, W, B] (per-knot windows)."""
     a, b, c, x1, y1, x2, y2, m = lane
+    if a.ndim == 2:   # shared: broadcast to [N, S, B]
+        a, b, c, x1, y1, x2, y2, m = (
+            v[None] for v in (a, b, c, x1, y1, x2, y2, m))
     # identical fp ops to costs._nearest_lane_plane so argmin ties break
-    # the same way; elementwise over [N, S, B]
+    # the same way; elementwise over [N, S|W, B]
     d = point_segment_distance(cx[:, None, :], cy[:, None, :],
-                               x1[None], y1[None], x2[None], y2[None])
-    d = jnp.where(m[None], d, jnp.inf)
+                               x1, y1, x2, y2)
+    d = jnp.where(m, d, jnp.inf)
     idx = jnp.argmin(d, axis=1)                        # [N, B]
-    S = a.shape[0]
+    S = d.shape[1]
     onehot = (jax.lax.broadcasted_iota(jnp.int32, (1, S, 1), 1)
               == idx[:, None, :])
-    sel = lambda p: jnp.sum(jnp.where(onehot, p[None], 0.0), axis=1)
+    sel = lambda p: jnp.sum(jnp.where(onehot, p, 0.0), axis=1)
     return sel(a), sel(b), sel(c)
 
 
@@ -452,7 +508,7 @@ def solve_batch_bl(goals_bf, starts, cons: ConstraintSet,
     goals = jnp.moveaxis(jnp.moveaxis(goals_first, 0, -1), 1, 0)  # [6,N,B]
     xs0 = jnp.moveaxis(jnp.moveaxis(xs0_bf, 0, -1), 1, 0)
     us0 = jnp.moveaxis(jnp.moveaxis(us0_bf, 0, -1), 1, 0)
-    cbl = cons_to_bl(cons)
+    cbl = cons_to_bl(cons, goals_bl=goals, lane_window=cfg.lane_window)
 
     cost0 = _cost_stack_bl(xs0, us0, goals, cbl, cfg, veh, False)
 

@@ -20,7 +20,9 @@ from cilqr_tpu.pallas.megasolve import solve_batch_mega
 from cilqr_tpu.solver_blast import solve_batch_bl
 
 VEH = VehicleParam()
-CFG = dataclasses.replace(IlqrConfig(), sweep_backend="xla")
+# lane_window=0: the megakernel searches all lane segments (reference
+# semantics); decision-exact comparison needs the XLA solver unwindowed
+CFG = dataclasses.replace(IlqrConfig(), sweep_backend="xla", lane_window=0)
 DT = 0.1
 FIXTURE = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "benchdata", "problems.npz")

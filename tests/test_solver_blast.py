@@ -83,3 +83,37 @@ def test_blast_jit_and_shapes():
     assert res.us.shape == (2, 80, 2)
     assert res.cost.total.shape == (2,)
     assert np.all(np.asarray(res.status) != 0)
+
+
+def test_lane_window_matches_full_scan_on_fixture():
+    """Quantized windowed lane search (default lane_window) is decision-
+    and control-exact vs the full scan on real fixture problems (f64)."""
+    import dataclasses
+    import os
+
+    from cilqr_tpu.costs import ConstraintSet
+
+    fixture = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "benchdata", "problems.npz")
+    if not os.path.exists(fixture):
+        pytest.skip("no bench fixture")
+    d = np.load(fixture)
+    take = lambda k: (jnp.asarray(d[k][:6], jnp.float64)
+                      if d[k].dtype != np.bool_ else jnp.asarray(d[k][:6]))
+    cons = ConstraintSet(
+        corridor_planes=take("corridor_planes"),
+        corridor_mask=take("corridor_mask"),
+        left_planes=take("left_planes"), left_segs=take("left_segs"),
+        left_mask=take("left_mask"), right_planes=take("right_planes"),
+        right_segs=take("right_segs"), right_mask=take("right_mask"))
+    goals = take("goals")
+    starts = take("starts")
+    c_full = dataclasses.replace(CFG, lane_window=0)
+    c_win = dataclasses.replace(CFG, lane_window=32)
+    r0 = solve_batch_bl(goals, starts, cons, c_full, VEH, DT)
+    rw = solve_batch_bl(goals, starts, cons, c_win, VEH, DT)
+    np.testing.assert_array_equal(np.asarray(r0.iters), np.asarray(rw.iters))
+    np.testing.assert_array_equal(np.asarray(r0.status),
+                                  np.asarray(rw.status))
+    np.testing.assert_allclose(np.asarray(rw.us), np.asarray(r0.us),
+                               atol=1e-12)
