@@ -167,6 +167,21 @@ class IlqrConfig:
     # guaranteed margin is (W/2 - W/8) segments. 0 = full scan. Windows
     # apply only when W < S.
     lane_window: int = 32
+    # Converged-lane compaction (solver_blast.solve_batch_compact): the
+    # batch otherwise runs in lockstep until its slowest lane concludes,
+    # burning full-width trips on a dwindling minority. Phase 1 runs the
+    # whole batch to `compaction_phase1` iterations; still-running lanes
+    # are then gathered (complete solver carry) into a batch of
+    # B/compaction_factor and run to conclusion. No batch-axis reduction
+    # exists in the loop body, so per-lane decisions are independent of
+    # batch position; controls match the single-phase solve to XLA's
+    # width-dependent fusion reassociation (~1e-14 in f64). 0 disables.
+    # Swept on the fixture: {2: 3585, 3: 4371, 5: 3956, 8: 3657, 12: 3390,
+    # off: 2646} solves/s — shallow phase 1 + repeated compact rounds
+    # approximates recursive halving (each round retires a full compact
+    # batch of stragglers at half-width trip cost).
+    compaction_phase1: int = 3
+    compaction_factor: int = 2
     # Riccati backward+forward sweep implementation (solver_blast):
     # 'pallas' = fused VMEM-resident kernel (pallas/sweep.py) — the
     # sequential 160-step chain runs at on-chip latency instead of XLA's

@@ -485,34 +485,16 @@ class _CarryBL(NamedTuple):
     aidx: jnp.ndarray      # [B] int32
 
 
-def solve_batch_bl(goals_bf, starts, cons: ConstraintSet,
-                   cfg: IlqrConfig, veh: VehicleParam, dt,
-                   warm_start=None) -> SolveResult:
-    """Batched solve, batch-last internals. goals_bf [B, N, 6],
-    starts [B, 6], cons leaves [B, ...]. Returns batch-first SolveResult
-    bitwise-equivalent in semantics to vmap(solver.solve) in serial mode."""
-    dtype = goals_bf.dtype
-    B = goals_bf.shape[0]
+def _make_body(goals, cbl, cfg: IlqrConfig, veh: VehicleParam, dt, dtype, T_):
+    """One while-loop trip (ilqr_optimizer.cc:201-309) as a closure over
+    the (batch-last) problem tensors. Every operation is per-lane — no
+    batch-axis reductions — so a lane's decision/fp trajectory is
+    independent of which batch it sits in (the compaction driver relies
+    on this for bitwise equivalence)."""
     reg = cfg.reg
     alphas = jnp.asarray(cfg.line_search.alphas, dtype)
     n_alpha = len(cfg.line_search.alphas)
-
-    goals_first = jax.vmap(transform_goals)(goals_bf, starts)
-    if warm_start is None:
-        xs0_bf, us0_bf = jax.vmap(
-            lambda g: iqr_init(g, cfg, veh, dt))(goals_first)
-    else:
-        xs0_bf, us0_bf = warm_start
-
-    # one-time layout change
-    goals = jnp.moveaxis(jnp.moveaxis(goals_first, 0, -1), 1, 0)  # [6,N,B]
-    xs0 = jnp.moveaxis(jnp.moveaxis(xs0_bf, 0, -1), 1, 0)
-    us0 = jnp.moveaxis(jnp.moveaxis(us0_bf, 0, -1), 1, 0)
-    cbl = cons_to_bl(cons, goals_bl=goals, lane_window=cfg.lane_window)
-
-    cost0 = _cost_stack_bl(xs0, us0, goals, cbl, cfg, veh, False)
-
-    T_ = goals_bf.shape[1] - 1
+    B = goals.shape[-1]
     unroll = cfg.scan_unroll or (T_ if jax.default_backend() != "cpu" else 1)
     unroll = min(unroll, T_)
     if cfg.sweep_backend == "auto":
@@ -611,23 +593,157 @@ def solve_batch_bl(goals_bf, starts, cons: ConstraintSet,
 
         return jax.tree.map(frz, new, c)
 
+    return body
+
+
+def _run_carry(carry: _CarryBL, goals, cbl, cfg, veh, dt,
+               iter_cap: int) -> _CarryBL:
+    """Run the outer loop until every lane concludes or reaches iter_cap
+    ITERATIONS (statuses stay RUNNING at the cap so a later run resumes)."""
+    body = _make_body(goals, cbl, cfg, veh, dt, goals.dtype,
+                      goals.shape[1] - 1)
+
     def cond(c: _CarryBL):
         return ((c.status == SolverStatus.RUNNING)
-                & (c.it < cfg.max_iter_num)).any()
+                & (c.it < iter_cap)).any()
 
+    return jax.lax.while_loop(cond, body, carry)
+
+
+def _bl(a):
+    """[B, N, k] -> [k, N, B]."""
+    return jnp.moveaxis(jnp.moveaxis(a, 0, -1), 1, 0)
+
+
+def _bf(a):
+    """[k, N, B] -> [B, N, k]."""
+    return jnp.moveaxis(jnp.moveaxis(a, 0, 1), -1, 0)
+
+
+def _prep(goals_bf, starts, cons, cfg, veh, dt, warm_start):
+    """transform_goals + init guess + batch-last layout + constraint prep
+    + initial carry. Returns (goals_first, goals, cbl, init_carry,
+    xs0_bf, us0_bf)."""
+    dtype = goals_bf.dtype
+    B = goals_bf.shape[0]
+    goals_first = jax.vmap(transform_goals)(goals_bf, starts)
+    if warm_start is None:
+        xs0_bf, us0_bf = jax.vmap(
+            lambda g: iqr_init(g, cfg, veh, dt))(goals_first)
+    else:
+        xs0_bf, us0_bf = warm_start
+    goals = _bl(goals_first)                               # [6, N, B]
+    xs0 = _bl(xs0_bf)
+    us0 = _bl(us0_bf)
+    cbl = cons_to_bl(cons, goals_bl=goals, lane_window=cfg.lane_window)
+    cost0 = _cost_stack_bl(xs0, us0, goals, cbl, cfg, veh, False)
     init = _CarryBL(
         xs=xs0, us=us0, cost=cost0,
-        lam=jnp.full((B,), reg.lambda_init, dtype),
+        lam=jnp.full((B,), cfg.reg.lambda_init, dtype),
         dlam=jnp.ones((B,), dtype),
         status=jnp.full((B,), SolverStatus.RUNNING, jnp.int32),
         it=jnp.zeros((B,), jnp.int32),
         aidx=jnp.zeros((B,), jnp.int32))
+    return goals_first, goals, cbl, init, xs0_bf, us0_bf
 
-    final = jax.lax.while_loop(cond, body, init)
+
+def _finalize(final: _CarryBL, xs0_bf, us0_bf) -> SolveResult:
     status = jnp.where(final.status == SolverStatus.RUNNING,
                        jnp.int32(SolverStatus.MAX_ITER), final.status)
-    xs_bf = jnp.moveaxis(jnp.moveaxis(final.xs, 0, 1), -1, 0)  # [B, N, 6]
-    us_bf = jnp.moveaxis(jnp.moveaxis(final.us, 0, 1), -1, 0)
-    return SolveResult(xs=xs_bf, us=us_bf, status=status, iters=final.it,
-                       cost=final.cost, lam=final.lam,
+    return SolveResult(xs=_bf(final.xs), us=_bf(final.us), status=status,
+                       iters=final.it, cost=final.cost, lam=final.lam,
                        init_xs=xs0_bf, init_us=us0_bf)
+
+
+def solve_batch_bl(goals_bf, starts, cons: ConstraintSet,
+                   cfg: IlqrConfig, veh: VehicleParam, dt,
+                   warm_start=None) -> SolveResult:
+    """Batched solve, batch-last internals. goals_bf [B, N, 6],
+    starts [B, 6], cons leaves [B, ...]. Returns batch-first SolveResult
+    bitwise-equivalent in semantics to vmap(solver.solve) in serial mode.
+
+    With cfg.compaction_phase1 > 0, delegates to solve_batch_compact
+    (identical per-lane results; see there)."""
+    if cfg.compaction_phase1 > 0 and goals_bf.shape[0] > 2:
+        return solve_batch_compact(goals_bf, starts, cons, cfg, veh, dt,
+                                   warm_start=warm_start)
+    _, goals, cbl, init, xs0_bf, us0_bf = _prep(
+        goals_bf, starts, cons, cfg, veh, dt, warm_start)
+    final = _run_carry(init, goals, cbl, cfg, veh, dt, cfg.max_iter_num)
+    return _finalize(final, xs0_bf, us0_bf)
+
+
+class _StateBF(NamedTuple):
+    """Full solver carry in batch-first layout (for row gathers)."""
+
+    xs: jnp.ndarray        # [B, N, 6]
+    us: jnp.ndarray        # [B, T, 2]
+    cost: CostBreakdown    # [B] leaves
+    lam: jnp.ndarray
+    dlam: jnp.ndarray
+    status: jnp.ndarray
+    it: jnp.ndarray
+    aidx: jnp.ndarray
+
+
+def _carry_to_bf(c: _CarryBL) -> _StateBF:
+    return _StateBF(xs=_bf(c.xs), us=_bf(c.us), cost=c.cost, lam=c.lam,
+                    dlam=c.dlam, status=c.status, it=c.it, aidx=c.aidx)
+
+
+def _carry_from_bf(s: _StateBF) -> _CarryBL:
+    return _CarryBL(xs=_bl(s.xs), us=_bl(s.us), cost=s.cost, lam=s.lam,
+                    dlam=s.dlam, status=s.status, it=s.it, aidx=s.aidx)
+
+
+def solve_batch_compact(goals_bf, starts, cons: ConstraintSet,
+                        cfg: IlqrConfig, veh: VehicleParam, dt,
+                        warm_start=None) -> SolveResult:
+    """Two-phase solve with converged-lane compaction.
+
+    The batch runs in lockstep until its SLOWEST lane concludes (mean ~10
+    iterations, tail ~35 on the fixture; trips multiply further through
+    serial line-search rejections) — most trips late in the solve update
+    only a few live lanes at full batch width. Phase 1 runs the full
+    batch to cfg.compaction_phase1 iterations; the still-running minority
+    is then gathered (complete solver carry: trajectory, cost, lambda,
+    d-lambda, alpha index, iteration count) into a batch of
+    B/compaction_factor lanes and run to conclusion, repeating if the
+    overflow exceeds the compact width.
+
+    No body operation reduces over the batch axis, so a lane's decision
+    sequence is independent of its batch position; results match the
+    single-phase solve decision-for-decision with controls equal to XLA's
+    width-dependent fusion reassociation (~1e-14 in f64 — XLA fuses the
+    same per-lane graph slightly differently at different batch widths;
+    tests/test_solver_blast.py pins this).
+    """
+    B = goals_bf.shape[0]
+    K = max(1, B // max(1, cfg.compaction_factor))
+    goals_first, goals, cbl, init, xs0_bf, us0_bf = _prep(
+        goals_bf, starts, cons, cfg, veh, dt, warm_start)
+    c1 = _run_carry(init, goals, cbl, cfg, veh, dt, cfg.compaction_phase1)
+    st = _carry_to_bf(c1)
+
+    def round_cond(s: _StateBF):
+        return ((s.status == SolverStatus.RUNNING)
+                & (s.it < cfg.max_iter_num)).any()
+
+    def round_body(s: _StateBF):
+        running = ((s.status == SolverStatus.RUNNING)
+                   & (s.it < cfg.max_iter_num))
+        idx = jnp.argsort(~running)[:K]        # running lanes first, stable
+        sub = jax.tree.map(lambda a: a[idx], s)
+        gsub = goals_first[idx]
+        csub = jax.tree.map(lambda a: a[idx], cons)
+        gl = _bl(gsub)
+        cblk = cons_to_bl(csub, goals_bl=gl, lane_window=cfg.lane_window)
+        out = _run_carry(_carry_from_bf(sub), gl, cblk, cfg, veh, dt,
+                         cfg.max_iter_num)
+        outs = _carry_to_bf(out)
+        return jax.tree.map(lambda full, part: full.at[idx].set(part),
+                            s, outs)
+
+    st = jax.lax.while_loop(round_cond, round_body, st)
+    final = _carry_from_bf(st)
+    return _finalize(final, xs0_bf, us0_bf)

@@ -117,3 +117,38 @@ def test_lane_window_matches_full_scan_on_fixture():
                                   np.asarray(rw.status))
     np.testing.assert_allclose(np.asarray(rw.us), np.asarray(r0.us),
                                atol=1e-12)
+
+
+def test_compaction_matches_single_phase_fixture():
+    """Two-phase converged-lane compaction (solve_batch_compact) matches
+    the single-phase solve decision-for-decision on fixture problems;
+    controls agree to XLA's width-dependent fusion reassociation."""
+    import dataclasses
+    import os
+
+    from cilqr_tpu.costs import ConstraintSet
+
+    fixture = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "benchdata", "problems.npz")
+    if not os.path.exists(fixture):
+        pytest.skip("no bench fixture")
+    d = np.load(fixture)
+    take = lambda k: (jnp.asarray(d[k][:16], jnp.float64)
+                      if d[k].dtype != np.bool_ else jnp.asarray(d[k][:16]))
+    cons = ConstraintSet(
+        corridor_planes=take("corridor_planes"),
+        corridor_mask=take("corridor_mask"),
+        left_planes=take("left_planes"), left_segs=take("left_segs"),
+        left_mask=take("left_mask"), right_planes=take("right_planes"),
+        right_segs=take("right_segs"), right_mask=take("right_mask"))
+    goals, starts = take("goals"), take("starts")
+    c1 = dataclasses.replace(CFG, compaction_phase1=0)
+    c2 = dataclasses.replace(CFG, compaction_phase1=6, compaction_factor=4)
+    r1 = solve_batch_bl(goals, starts, cons, c1, VEH, DT)
+    r2 = solve_batch_bl(goals, starts, cons, c2, VEH, DT)
+    np.testing.assert_array_equal(np.asarray(r1.iters), np.asarray(r2.iters))
+    np.testing.assert_array_equal(np.asarray(r1.status),
+                                  np.asarray(r2.status))
+    np.testing.assert_array_equal(np.asarray(r1.lam), np.asarray(r2.lam))
+    np.testing.assert_allclose(np.asarray(r2.us), np.asarray(r1.us),
+                               atol=1e-12)
