@@ -51,14 +51,18 @@ def main():
     from cilqr_tpu.batch import solve_batch
     from cilqr_tpu.config import PlannerConfig
 
-    B_env = os.environ.get("BENCH_BATCH")
-    REPS = int(os.environ.get("BENCH_REPS", 5))
+    # Default batch 1024: the 256-problem fixture tiled 4x with per-rep
+    # perturbed start states (each instance is a distinct problem). The
+    # cascading-width compaction amortizes best here — measured 4310 (256)
+    # / 6040 (1024) / 5839 (2048) / 5311 (4096) solves/s.
+    B_env = os.environ.get("BENCH_BATCH", "1024")
+    REPS = int(os.environ.get("BENCH_REPS", 4))
     # Inner replications executed inside ONE jitted call (lax.map over
     # perturbed start states): the tunneled-TPU dispatch adds tens-of-ms
     # noise per call, so per-call timing of a sub-ms batch is dominated by
     # dispatch; amortizing INNER batches per dispatch divides that noise
     # out.
-    INNER = int(os.environ.get("BENCH_INNER", 16))
+    INNER = int(os.environ.get("BENCH_INNER", 4))
     cfg = PlannerConfig()
     mode = os.environ.get("BENCH_LS_MODE")
     if mode:

@@ -497,12 +497,14 @@ def _make_body(goals, cbl, cfg: IlqrConfig, veh: VehicleParam, dt, dtype, T_):
     B = goals.shape[-1]
     unroll = cfg.scan_unroll or (T_ if jax.default_backend() != "cpu" else 1)
     unroll = min(unroll, T_)
-    if cfg.sweep_backend == "auto":
-        from .pallas.sweep import NB as _NB
+    from .pallas.sweep import NB as _NB
 
+    if cfg.sweep_backend == "auto":
         use_pallas = (jax.default_backend() != "cpu") and (B % _NB == 0)
     else:
-        use_pallas = cfg.sweep_backend == "pallas"
+        # explicit 'pallas' still needs a full block multiple (compaction
+        # mop-up rounds can be narrower — fall back to the XLA sweep there)
+        use_pallas = cfg.sweep_backend == "pallas" and B % _NB == 0
 
     def body(c: _CarryBL) -> _CarryBL:
         A, Bm = _jacobians_bl(c.xs[:, :-1], c.us, dt, veh.wheel_base)
@@ -719,31 +721,51 @@ def solve_batch_compact(goals_bf, starts, cons: ConstraintSet,
     tests/test_solver_blast.py pins this).
     """
     B = goals_bf.shape[0]
-    K = max(1, B // max(1, cfg.compaction_factor))
     goals_first, goals, cbl, init, xs0_bf, us0_bf = _prep(
         goals_bf, starts, cons, cfg, veh, dt, warm_start)
     c1 = _run_carry(init, goals, cbl, cfg, veh, dt, cfg.compaction_phase1)
     st = _carry_to_bf(c1)
 
-    def round_cond(s: _StateBF):
-        return ((s.status == SolverStatus.RUNNING)
-                & (s.it < cfg.max_iter_num)).any()
-
-    def round_body(s: _StateBF):
+    def one_round(s: _StateBF, width: int, cap: int) -> _StateBF:
+        """Gather `width` lanes (running first), run to `cap` iterations,
+        scatter back. Lanes still running at the cap resume later."""
         running = ((s.status == SolverStatus.RUNNING)
                    & (s.it < cfg.max_iter_num))
-        idx = jnp.argsort(~running)[:K]        # running lanes first, stable
+        idx = jnp.argsort(~running)[:width]    # running lanes first, stable
         sub = jax.tree.map(lambda a: a[idx], s)
         gsub = goals_first[idx]
         csub = jax.tree.map(lambda a: a[idx], cons)
         gl = _bl(gsub)
         cblk = cons_to_bl(csub, goals_bl=gl, lane_window=cfg.lane_window)
-        out = _run_carry(_carry_from_bf(sub), gl, cblk, cfg, veh, dt,
-                         cfg.max_iter_num)
+        out = _run_carry(_carry_from_bf(sub), gl, cblk, cfg, veh, dt, cap)
         outs = _carry_to_bf(out)
         return jax.tree.map(lambda full, part: full.at[idx].set(part),
                             s, outs)
 
-    st = jax.lax.while_loop(round_cond, round_body, st)
+    # cascade: halve the width each stage (doubling the iteration cap)
+    # down to one Pallas sweep block, so large batches do not drag their
+    # stragglers at full width. On TPU the width floors at one sweep
+    # block (128) so compact rounds keep the fused Pallas sweep.
+    floor_w = 1
+    if cfg.sweep_backend != "xla" and jax.default_backend() != "cpu":
+        from .pallas.sweep import NB as _NB
+
+        if B % _NB == 0:
+            floor_w = min(B, _NB)
+    width = min(B, max(floor_w, B // max(1, cfg.compaction_factor)))
+    cap = cfg.compaction_phase1
+    while width > 128:
+        cap *= 2
+        st = one_round(st, width, cap)
+        width //= 2
+
+    # mop-up rounds at the final width until every lane concludes
+    def round_cond(s: _StateBF):
+        return ((s.status == SolverStatus.RUNNING)
+                & (s.it < cfg.max_iter_num)).any()
+
+    st = jax.lax.while_loop(
+        round_cond,
+        lambda s: one_round(s, width, cfg.max_iter_num), st)
     final = _carry_from_bf(st)
     return _finalize(final, xs0_bf, us0_bf)
