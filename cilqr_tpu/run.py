@@ -50,6 +50,11 @@ def main(argv=None):
                         help="write scenario+trajectory figure (png)")
     p_plan.add_argument("--save", type=str, default="",
                         help="save result npz")
+    p_plan.add_argument("--animate", type=str, default="",
+                        help="write animated playback GIF (planning_node.cc"
+                             ":82-112 analog)")
+    p_plan.add_argument("--animate-every", type=int, default=2,
+                        help="animate every k-th knot")
 
     p_batch = sub.add_parser("batch", help="batched scenario solves")
     _add_common(p_batch)
@@ -143,6 +148,12 @@ def main(argv=None):
             fig2 = viz.plot_states_dashboard(tr, cfg.vehicle)
             fig2.savefig(args.out.replace(".png", "_states.png"), dpi=120)
             print(f"figures -> {args.out}")
+        if args.animate:
+            from . import viz
+
+            viz.animate_plan(scn, out, cfg, args.animate,
+                             every=args.animate_every)
+            print(f"animation -> {args.animate}")
         return 0
 
     if args.cmd == "batch":

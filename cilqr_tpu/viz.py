@@ -121,6 +121,99 @@ def plot_iteration_overlays(xs_hist, n_iters, ax=None, coarse=None):
     return ax.figure
 
 
+def _vehicle_patches(x, y, theta, delta, veh):
+    """Vehicle body box + 4 tire boxes at a pose (the RViz playback's
+    GenerateBox + tire boxes, planning_node.cc:127-145). Returns a list
+    of [4, 2] corner arrays (body first)."""
+    import jax.numpy as jnp
+
+    from .geometry import box_corners
+
+    cx = x + (veh.length / 2.0 - veh.rear_hang_length) * np.cos(theta)
+    cy = y + (veh.length / 2.0 - veh.rear_hang_length) * np.sin(theta)
+    body = np.asarray(box_corners(jnp.asarray(cx), jnp.asarray(cy),
+                                  jnp.asarray(theta), veh.length, veh.width))
+    tire_l, tire_w = 0.4, 0.2
+    half_track = 0.75 * veh.width / 2.0
+    patches = [body]
+    # rear tires (heading theta), front tires (heading theta + delta)
+    for along, lat, ang in ((0.0, half_track, theta),
+                            (0.0, -half_track, theta),
+                            (veh.wheel_base, half_track, theta + delta),
+                            (veh.wheel_base, -half_track, theta + delta)):
+        tx = x + along * np.cos(theta) - lat * np.sin(theta)
+        ty = y + along * np.sin(theta) + lat * np.cos(theta)
+        patches.append(np.asarray(box_corners(
+            jnp.asarray(tx), jnp.asarray(ty), jnp.asarray(ang),
+            tire_l, tire_w)))
+    return patches
+
+
+def animate_plan(scn, out, cfg, path, every: int = 1, dpi: int = 80):
+    """Animated playback of a plan result — the PlanCallback animation
+    (planning_node.cc:82-112): per-knot dynamic obstacles at knot time,
+    the knot's corridor polygon, and the vehicle body + tire boxes
+    traversing the optimized trajectory. Writes a GIF to `path`."""
+    import matplotlib
+
+    matplotlib.use("Agg", force=False)
+    from matplotlib import animation
+    import matplotlib.pyplot as plt
+
+    from . import world
+
+    xs = np.asarray(out.solve.xs)
+    N = xs.shape[0]
+    dt = cfg.delta_t
+    veh = cfg.vehicle
+
+    fig, ax = plt.subplots(figsize=(10, 8))
+    plot_scenario(scn, ax=ax)
+    ax.plot(xs[:, 0], xs[:, 1], "g-", lw=1.2)
+    dyn_artists = []
+    patch_artists = []
+    corr_artist = None
+
+    frames = list(range(0, N, every))
+
+    def draw(i):
+        nonlocal corr_artist
+        k = frames[i]
+        t = k * dt
+        for a in dyn_artists + patch_artists:
+            a.remove()
+        dyn_artists.clear()
+        patch_artists.clear()
+        if corr_artist is not None:
+            corr_artist.remove()
+            corr_artist = None
+        nd = scn.dyn_obs.shape[0]
+        for kk in range(nd):
+            poly, active = world._dyn_polygon_at(scn, kk, t)
+            if bool(active):
+                p = np.asarray(poly)
+                dyn_artists.append(ax.fill(p[:, 0], p[:, 1], color="c",
+                                           alpha=0.45)[0])
+        polys = np.asarray(out.corridors.polygons[k])
+        pmask = np.asarray(out.corridors.poly_mask[k])
+        pc = polys[pmask]
+        if len(pc) >= 3:
+            corr_artist = ax.fill(pc[:, 0], pc[:, 1], facecolor="none",
+                                  edgecolor="b", lw=1.0)[0]
+        for corners in _vehicle_patches(xs[k, 0], xs[k, 1], xs[k, 2],
+                                        xs[k, 5], veh):
+            patch_artists.append(ax.fill(corners[:, 0], corners[:, 1],
+                                         color="0.2", alpha=0.9)[0])
+        return dyn_artists + patch_artists
+
+    anim = animation.FuncAnimation(fig, draw, frames=len(frames),
+                                   interval=1000 * dt * every * 1.5)
+    anim.save(path, writer=animation.PillowWriter(
+        fps=max(1, int(1.0 / (dt * every * 1.5)))), dpi=dpi)
+    plt.close(fig)
+    return path
+
+
 def plot_cost_history(hist, fig=None):
     """Cost-vs-iteration curve by component
     (figure_plot.h:455-485)."""

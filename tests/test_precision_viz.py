@@ -102,3 +102,35 @@ def test_iteration_overlays_plot(tmp_path):
     out = tmp_path / "iters.png"
     fig.savefig(out)
     assert out.stat().st_size > 0
+
+
+def test_animate_plan_writes_gif(tmp_path):
+    """Animated playback (planning_node.cc:82-112 analog) renders frames
+    on a tiny synthetic plan."""
+    import jax.numpy as jnp
+    from types import SimpleNamespace
+
+    from cilqr_tpu import viz
+    from cilqr_tpu.config import PlannerConfig
+    from cilqr_tpu.scenario import make_scenario
+
+    cfg = PlannerConfig()
+    scn = make_scenario(seed=0, dtype="float32")
+    N = 6
+    xs = np.zeros((N, 6), np.float32)
+    xs[:, 0] = np.linspace(0, 5, N)
+    xs[:, 3] = 10.0
+    KC = 4
+    polys = np.zeros((N, KC, 2), np.float32)
+    polys[:, :, 0] = np.array([[-1, 1, 1, -1]]) + xs[:, :1]
+    polys[:, :, 1] = np.array([[-1.0, -1, 1, 1]])
+    out = SimpleNamespace(
+        solve=SimpleNamespace(xs=jnp.asarray(xs)),
+        corridors=SimpleNamespace(polygons=jnp.asarray(polys),
+                                  poly_mask=jnp.ones((N, KC), bool)))
+    path = str(tmp_path / "anim.gif")
+    viz.animate_plan(scn, out, cfg, path, every=2, dpi=40)
+    from PIL import Image
+
+    im = Image.open(path)
+    assert im.n_frames == 3
