@@ -27,7 +27,7 @@ FIXTURE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 def _load_fixture(dtype):
     import jax.numpy as jnp
 
-    from cilqr_tpu.costs import ConstraintSet
+    from cilqr_tpu.costs import ConstraintSet, trim_constraints
 
     d = np.load(FIXTURE)
     goals = jnp.asarray(d["goals"], dtype)
@@ -41,7 +41,9 @@ def _load_fixture(dtype):
         right_planes=jnp.asarray(d["right_planes"], dtype),
         right_segs=jnp.asarray(d["right_segs"], dtype),
         right_mask=jnp.asarray(d["right_mask"]))
-    return goals, starts, cons
+    # drop all-invalid padded slots (exact; fixture uses <=12 of 24
+    # corridor planes and <=39 of 64 lane segments)
+    return goals, starts, trim_constraints(cons)
 
 
 def main():

@@ -76,6 +76,39 @@ def shrink_and_normalize(planes_corridor, corridor_mask,
     )
 
 
+def trim_constraints(cons: ConstraintSet, multiple: int = 8) -> ConstraintSet:
+    """Trim unused padded constraint slots (host-side, outside jit).
+
+    The corridor/lane builders pad to static maxima (CorridorConfig
+    max_constraints/max_lane_segments); real problems use far fewer slots
+    (fixture: max 12 of 24 corridor planes). Slicing to the highest valid
+    slot (rounded up to `multiple` for kernel chunk alignment) is exact
+    for ANY mask pattern — everything dropped is masked out — and cuts
+    the barrier stack's per-trip tensor work proportionally."""
+    import numpy as np
+
+    def hi(mask):
+        m = np.asarray(mask)
+        idx = np.where(m.any(axis=tuple(range(m.ndim - 1))))[0]
+        n = int(idx[-1]) + 1 if idx.size else 1
+        return min(m.shape[-1], -(-n // multiple) * multiple)
+
+    kc = hi(cons.corridor_mask)
+    sl = hi(cons.left_mask)
+    sr = hi(cons.right_mask)
+    s = max(sl, sr)
+    return ConstraintSet(
+        corridor_planes=cons.corridor_planes[..., :kc, :],
+        corridor_mask=cons.corridor_mask[..., :kc],
+        left_planes=cons.left_planes[..., :s, :],
+        left_segs=cons.left_segs[..., :s, :, :],
+        left_mask=cons.left_mask[..., :s],
+        right_planes=cons.right_planes[..., :s, :],
+        right_segs=cons.right_segs[..., :s, :, :],
+        right_mask=cons.right_mask[..., :s],
+    )
+
+
 def disc_geometry(xs, cfg: IlqrConfig, veh: VehicleParam):
     """Disc-center offsets along heading (ilqr_optimizer.cc:556-565).
 

@@ -152,3 +152,38 @@ def test_compaction_matches_single_phase_fixture():
     np.testing.assert_array_equal(np.asarray(r1.lam), np.asarray(r2.lam))
     np.testing.assert_allclose(np.asarray(r2.us), np.asarray(r1.us),
                                atol=1e-12)
+
+
+def test_trim_constraints_exact():
+    """Dropping all-invalid padded constraint slots doesn't change
+    decisions or controls (beyond shape-dependent fp reassociation)."""
+    import dataclasses
+    import os
+
+    from cilqr_tpu.costs import ConstraintSet, trim_constraints
+
+    fixture = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "benchdata", "problems.npz")
+    if not os.path.exists(fixture):
+        pytest.skip("no bench fixture")
+    d = np.load(fixture)
+    take = lambda k: (jnp.asarray(d[k][:8], jnp.float64)
+                      if d[k].dtype != np.bool_ else jnp.asarray(d[k][:8]))
+    cons = ConstraintSet(
+        corridor_planes=take("corridor_planes"),
+        corridor_mask=take("corridor_mask"),
+        left_planes=take("left_planes"), left_segs=take("left_segs"),
+        left_mask=take("left_mask"), right_planes=take("right_planes"),
+        right_segs=take("right_segs"), right_mask=take("right_mask"))
+    trimmed = trim_constraints(cons)
+    assert trimmed.corridor_planes.shape[-2] == 16
+    assert trimmed.left_planes.shape[-2] == 40
+    goals, starts = take("goals"), take("starts")
+    cfg = dataclasses.replace(CFG, sweep_backend="xla")
+    r1 = solve_batch_bl(goals, starts, cons, cfg, VEH, DT)
+    r2 = solve_batch_bl(goals, starts, trimmed, cfg, VEH, DT)
+    np.testing.assert_array_equal(np.asarray(r1.iters), np.asarray(r2.iters))
+    np.testing.assert_array_equal(np.asarray(r1.status),
+                                  np.asarray(r2.status))
+    np.testing.assert_allclose(np.asarray(r2.us), np.asarray(r1.us),
+                               atol=1e-11)
