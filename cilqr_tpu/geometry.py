@@ -120,6 +120,87 @@ def convex_overlap_aabb(poly, poly_mask, minx, miny, maxx, maxy):
     return any_valid & ~(sep_x | sep_y | sep_edge.any(axis=-1))
 
 
+def _first_valid_fill(poly, mask):
+    """Replace invalid vertices with the first valid one so padded slots
+    never extend projection intervals and padded edges are zero-length."""
+    mask = jnp.broadcast_to(mask, poly.shape[:-1])
+    first = jnp.take_along_axis(
+        poly, jnp.argmax(mask, axis=-1)[..., None, None].repeat(2, -1),
+        axis=-2)
+    return jnp.where(mask[..., None], poly, first), mask
+
+
+def _sat_separates(pts_a, pts_b):
+    """True if any edge normal of convex polygon A separates A from B.
+    pts_a/pts_b: [..., Ka, 2] / [..., Kb, 2] (padded slots pre-filled)."""
+    nxt = jnp.roll(pts_a, -1, axis=-2)
+    ex = nxt[..., 0] - pts_a[..., 0]
+    ey = nxt[..., 1] - pts_a[..., 1]
+    deg = (jnp.abs(ex) + jnp.abs(ey)) <= 0
+    # normal n = (ey, -ex); project both polygons on every normal
+    pa = (pts_a[..., None, :, 0] * ey[..., :, None] -
+          pts_a[..., None, :, 1] * ex[..., :, None])
+    pb = (pts_b[..., None, :, 0] * ey[..., :, None] -
+          pts_b[..., None, :, 1] * ex[..., :, None])
+    sep = ((pa.max(-1) < pb.min(-1)) | (pa.min(-1) > pb.max(-1))) & ~deg
+    return sep.any(axis=-1)
+
+
+def convex_overlap(poly_a, mask_a, poly_b, mask_b):
+    """General SAT overlap of two convex polygons (padded [Ka,2]/[Kb,2] +
+    masks). Covers Box2d::HasOverlap(Box2d) (box2d.cpp) and
+    Polygon2d::HasOverlap for convex polygons (polygon2d.cpp) — the query
+    behind Environment::CheckCollision with an oriented ego box
+    (environment.cpp:83-90). Either polygon fully invalid -> no overlap."""
+    pa, ma = _first_valid_fill(poly_a, mask_a)
+    pb, mb = _first_valid_fill(poly_b, mask_b)
+    sep = _sat_separates(pa, pb) | _sat_separates(pb, pa)
+    return ma.any(axis=-1) & mb.any(axis=-1) & ~sep
+
+
+def point_in_convex_polygon(px, py, poly, mask, eps: float = 0.0):
+    """Closed point-membership test for a convex polygon with vertices in a
+    consistent winding order (CCW or CW), padded + masked.
+    Polygon2d::IsPointIn semantics for convex inputs (polygon2d.cpp)."""
+    pts, m = _first_valid_fill(poly, mask)
+    nxt = jnp.roll(pts, -1, axis=-2)
+    cr = ((nxt[..., 0] - pts[..., 0]) * (py[..., None] - pts[..., 1]) -
+          (nxt[..., 1] - pts[..., 1]) * (px[..., None] - pts[..., 0]))
+    deg = ((jnp.abs(nxt[..., 0] - pts[..., 0]) +
+            jnp.abs(nxt[..., 1] - pts[..., 1])) <= 0)
+    pos = (cr >= -eps) | deg
+    neg = (cr <= eps) | deg
+    return m.any(axis=-1) & (pos.all(axis=-1) | neg.all(axis=-1))
+
+
+def polygon_distance_point(px, py, poly, mask):
+    """Distance from a point to a convex polygon: 0 inside, else the min
+    over edge segment distances (Polygon2d::DistanceTo(Vec2d),
+    polygon2d.cpp). Fully-invalid polygon -> +inf."""
+    pts, m = _first_valid_fill(poly, mask)
+    nxt = jnp.roll(pts, -1, axis=-2)
+    d = point_segment_distance(px[..., None], py[..., None],
+                               pts[..., 0], pts[..., 1],
+                               nxt[..., 0], nxt[..., 1])
+    dmin = d.min(axis=-1)
+    inside = point_in_convex_polygon(px, py, poly, mask)
+    dist = jnp.where(inside, 0.0, dmin)
+    return jnp.where(m.any(axis=-1), dist, jnp.inf)
+
+
+def point_in_oriented_box(px, py, cx, cy, theta, length, width):
+    """Closed membership of point(s) in an oriented box
+    (Box2d::IsPointIn, box2d.cpp): rotate into the box frame and compare
+    against half-extents."""
+    dx = px - cx
+    dy = py - cy
+    c = jnp.cos(theta)
+    s = jnp.sin(theta)
+    u = c * dx + s * dy
+    v = -s * dx + c * dy
+    return (jnp.abs(u) <= length / 2.0) & (jnp.abs(v) <= width / 2.0)
+
+
 def points_in_aabb_count(px, py, minx, miny, maxx, maxy, mask):
     """Count of masked points inside the closed axis-aligned box.
 

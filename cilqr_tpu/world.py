@@ -22,7 +22,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .geometry import convex_overlap_aabb
+from .geometry import (box_corners, convex_overlap, convex_overlap_aabb,
+                       point_in_oriented_box)
 from .types import Scenario
 
 K_MATH_EPS = 1e-10
@@ -151,6 +152,40 @@ def check_optimization_collision(scn: Scenario, time, x, y, theta,
         return hit
 
     return box_hit(xf, yf) | box_hit(xr, yr)
+
+
+def check_collision(scn: Scenario, time, cx, cy, theta, length, width):
+    """Oriented ego-box collision probe — Environment::CheckCollision
+    (environment.cpp:83-90): dynamic obstacles at ``time`` (SAT overlap,
+    :114-131), static polygons, and road-barrier point membership in the
+    oriented rectangle (CheckStaticCollision :46-81 with Box2d::IsPointIn).
+    All of cx/cy/theta may carry a common batch shape."""
+    ego = box_corners(jnp.asarray(cx), jnp.asarray(cy), jnp.asarray(theta),
+                      length, width)
+    ego_mask = jnp.ones(ego.shape[:-1], bool)
+
+    def one_static(poly, valid):
+        return convex_overlap(poly, jnp.ones((poly.shape[0],), bool),
+                              ego, ego_mask) & valid
+
+    hit = jax.vmap(one_static, in_axes=(0, 0), out_axes=-1)(
+        scn.static_obs, scn.static_mask).any(axis=-1)
+
+    barrier_in = point_in_oriented_box(
+        scn.barrier_xy[..., 0], scn.barrier_xy[..., 1],
+        jnp.asarray(cx)[..., None], jnp.asarray(cy)[..., None],
+        jnp.asarray(theta)[..., None], length, width) & scn.barrier_mask
+    hit = hit | barrier_in.any(axis=-1)
+
+    KD = scn.dyn_obs.shape[0]
+
+    def one_dyn(k):
+        poly, active = _dyn_polygon_at(scn, k, time, eps=0.0)
+        return convex_overlap(poly, jnp.ones((4,), bool),
+                              ego, ego_mask) & active
+
+    hit = hit | jax.vmap(one_dyn, out_axes=-1)(jnp.arange(KD)).any(axis=-1)
+    return hit
 
 
 def query_dynamic_points(scn: Scenario, time):

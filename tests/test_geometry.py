@@ -129,3 +129,88 @@ def test_sample_polygon_edges():
     # batched leading dims pass through
     batched = G.sample_polygon_edges(jnp.stack([sq, sq + 1.0]), 5)
     assert batched.shape == (2, 24, 2)
+
+
+def _rand_convex(rng, n, scale=2.0, center=(0.0, 0.0)):
+    """Random convex polygon: hull of n random points (numpy monotone chain
+    via angle sort of hull set through G.convex_hull_masked)."""
+    pts = rng.normal(size=(n, 2)) * scale + np.asarray(center)
+    hull, hmask, cnt = G.convex_hull_masked(jnp.asarray(pts),
+                                            jnp.ones(n, bool))
+    c = int(cnt)
+    return np.asarray(hull)[:c]
+
+
+def _pad(poly, K):
+    p = np.zeros((K, 2))
+    m = np.zeros(K, bool)
+    p[:len(poly)] = poly
+    m[:len(poly)] = True
+    return jnp.asarray(p), jnp.asarray(m)
+
+
+def test_convex_overlap_general_sat_vs_bruteforce(rng):
+    # compare SAT verdict with dense point sampling of both polygons
+    for trial in range(20):
+        a = _rand_convex(rng, 8, center=rng.normal(size=2) * 2)
+        b = _rand_convex(rng, 8, center=rng.normal(size=2) * 2)
+        pa, ma = _pad(a, 12)
+        pb, mb = _pad(b, 12)
+        got = bool(G.convex_overlap(pa, ma, pb, mb))
+        # brute force: grid over the union bbox, point in both polygons
+        lo = np.minimum(a.min(0), b.min(0)) - 0.1
+        hi = np.maximum(a.max(0), b.max(0)) + 0.1
+        gx, gy = np.meshgrid(np.linspace(lo[0], hi[0], 80),
+                             np.linspace(lo[1], hi[1], 80))
+        ina = np.asarray(G.point_in_convex_polygon(
+            jnp.asarray(gx.ravel()), jnp.asarray(gy.ravel()), pa, ma))
+        inb = np.asarray(G.point_in_convex_polygon(
+            jnp.asarray(gx.ravel()), jnp.asarray(gy.ravel()), pb, mb))
+        brute = bool((ina & inb).any())
+        # brute force misses thin overlaps; SAT missing a brute overlap is a bug
+        if brute:
+            assert got, f"trial {trial}: SAT says no overlap, sampling found one"
+
+
+def test_convex_overlap_disjoint_and_invalid():
+    sq = np.array([[0, 0], [1, 0], [1, 1], [0, 1.0]])
+    pa, ma = _pad(sq, 8)
+    pb, mb = _pad(sq + 5.0, 8)
+    assert not bool(G.convex_overlap(pa, ma, pb, mb))
+    assert bool(G.convex_overlap(pa, ma, pa, ma))
+    # touching edge counts as overlap (closed sets)
+    pc, mc = _pad(sq + np.array([1.0, 0.0]), 8)
+    assert bool(G.convex_overlap(pa, ma, pc, mc))
+    # fully-invalid polygon never overlaps
+    assert not bool(G.convex_overlap(pa, ma, pb, jnp.zeros(8, bool)))
+
+
+def test_point_in_convex_polygon_windings():
+    sq_ccw = np.array([[0, 0], [2, 0], [2, 2], [0, 2.0]])
+    sq_cw = sq_ccw[::-1].copy()
+    for sq in (sq_ccw, sq_cw):
+        p, m = _pad(sq, 8)
+        assert bool(G.point_in_convex_polygon(jnp.asarray(1.0), jnp.asarray(1.0), p, m))
+        assert bool(G.point_in_convex_polygon(jnp.asarray(0.0), jnp.asarray(0.0), p, m))  # vertex
+        assert bool(G.point_in_convex_polygon(jnp.asarray(1.0), jnp.asarray(0.0), p, m))  # edge
+        assert not bool(G.point_in_convex_polygon(jnp.asarray(3.0), jnp.asarray(1.0), p, m))
+
+
+def test_polygon_distance_point():
+    sq = np.array([[0, 0], [2, 0], [2, 2], [0, 2.0]])
+    p, m = _pad(sq, 8)
+    assert float(G.polygon_distance_point(jnp.asarray(1.0), jnp.asarray(1.0), p, m)) == 0.0
+    assert float(G.polygon_distance_point(jnp.asarray(3.0), jnp.asarray(1.0), p, m)) == pytest.approx(1.0)
+    assert float(G.polygon_distance_point(jnp.asarray(3.0), jnp.asarray(3.0), p, m)) == pytest.approx(np.sqrt(2))
+    assert np.isinf(float(G.polygon_distance_point(jnp.asarray(0.0), jnp.asarray(0.0), p, jnp.zeros(8, bool))))
+
+
+def test_point_in_oriented_box():
+    # box centered (1,1), theta=45deg, length 2sqrt2, width sqrt2/2... use simple:
+    th = np.pi / 4
+    inside = G.point_in_oriented_box(jnp.asarray(1.0 + np.cos(th)), jnp.asarray(1.0 + np.sin(th)),
+                                     1.0, 1.0, th, 2.5, 0.5)
+    assert bool(inside)
+    outside = G.point_in_oriented_box(jnp.asarray(1.0 - np.sin(th)), jnp.asarray(1.0 + np.cos(th)),
+                                      1.0, 1.0, th, 2.5, 0.5)
+    assert not bool(outside)

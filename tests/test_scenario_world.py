@@ -97,3 +97,39 @@ def test_query_dynamic_points(scn):
     assert pts.shape == (SC.MAX_DYNAMIC * 4, 2)
     # dynamic vehicles (t in [0,16]) are active at t=0.05
     assert int(mask.sum()) >= 3 * 4
+
+
+def test_check_collision_oriented_box(scn):
+    # ego box centered on a static obstacle -> collision
+    obs = np.asarray(scn.static_obs)[np.asarray(scn.static_mask)][0]
+    cx, cy = obs.mean(axis=0)
+    hit = W.check_collision(scn, jnp.asarray(0.0), jnp.asarray(cx),
+                            jnp.asarray(cy), jnp.asarray(0.3), 3.0, 1.9)
+    assert bool(hit)
+    # far away from the road entirely -> no collision at any angle
+    for th in (0.0, 0.7, 2.0):
+        hit = W.check_collision(scn, jnp.asarray(0.0), jnp.asarray(500.0),
+                                jnp.asarray(500.0), jnp.asarray(th), 3.0, 1.9)
+        assert not bool(hit)
+    # batched query shapes broadcast
+    cxs = jnp.asarray([cx, 500.0])
+    cys = jnp.asarray([cy, 500.0])
+    ths = jnp.asarray([0.3, 0.0])
+    hits = W.check_collision(scn, jnp.zeros(2), cxs, cys, ths, 3.0, 1.9)
+    assert hits.shape == (2,)
+    assert bool(hits[0]) and not bool(hits[1])
+
+
+def test_check_collision_matches_aabb_probe_at_theta0(scn):
+    # at theta=0 an oriented square box equals the AABB probe on barriers
+    pts = np.asarray(scn.barrier_xy)
+    c = pts[1234]
+    half = 0.8
+    cnt = int(W.barrier_points_in_box_exact(
+        scn.barrier_xy, scn.barrier_mask,
+        jnp.asarray(c[0] - half), jnp.asarray(c[1] - half),
+        jnp.asarray(c[0] + half), jnp.asarray(c[1] + half)))
+    hit = W.check_collision(scn, jnp.asarray(0.0), jnp.asarray(c[0]),
+                            jnp.asarray(c[1]), jnp.asarray(0.0),
+                            2 * half, 2 * half)
+    assert (cnt > 0) == bool(hit)
