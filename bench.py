@@ -98,6 +98,41 @@ def main():
 
     BACKEND = os.environ.get("BENCH_BACKEND", "blast")
 
+    if os.environ.get("BENCH_MODE") == "latency":
+        # Per-dispatch replan latency for one batch of B problems — the
+        # BASELINE.md real-time target (p99 within the 0.1 s planning
+        # cycle). Each rep is one un-amortized dispatch + forced
+        # device->host sync, so on the tunneled backend the figure
+        # includes the ~tens-of-ms RPC round trip and is an UPPER BOUND
+        # on directly-attached-hardware latency.
+        @jax.jit
+        def step_once(goals, starts, cons, d):
+            res = solve_batch(goals, starts.at[:, 1].add(d), cons,
+                              ilqr, veh, dt, backend=BACKEND)
+            return res.us.sum(), res.iters.sum(), (res.status != 0).all()
+
+        rng = np.random.default_rng(1)
+        reps = int(os.environ.get("BENCH_REPS", 30))
+        d0 = jnp.asarray(rng.uniform(-0.2, 0.2, B), starts.dtype)
+        jax.block_until_ready(step_once(goals, starts, cons, d0))
+        lat = []
+        for _ in range(reps):
+            d = jnp.asarray(rng.uniform(-0.2, 0.2, B), starts.dtype)
+            jax.block_until_ready(d)
+            t0 = time.perf_counter()
+            out = step_once(goals, starts, cons, d)
+            _ = float(out[0])
+            lat.append((time.perf_counter() - t0) * 1e3)
+        p99 = float(np.percentile(lat, 99))
+        print(json.dumps({
+            "metric": f"batch{B}_replan_p99_ms",
+            "value": round(p99, 2),
+            "unit": "ms",
+            # target: within the 0.1 s replan budget -> ratio >= 1 is good
+            "vs_baseline": round(100.0 / p99, 3),
+        }))
+        return
+
     @jax.jit
     def step_many(goals, starts, cons, deltas):
         """INNER perturbed batch solves in one dispatch; outputs reduced to
