@@ -189,6 +189,13 @@ class IlqrConfig:
     # pallas on TPU when the batch is a multiple of its 128-lane block,
     # else xla.
     sweep_backend: str = "auto"
+    # Backward-pass formulation (single-problem solver paths):
+    # 'scan' = sequential lax.scan, the reference's exact recursion;
+    # 'pscan' = horizon-parallel associative scan (pscan.py, arXiv
+    # 1809.06360 / 2104.03186) — O(log T) sequential depth for LONG
+    # horizons, with the Woodbury regularization placement (identical
+    # gains at λ=0; see pscan.py docstring).
+    backward_backend: str = "scan"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -278,17 +278,28 @@ def solve_with_history(coarse_xs, start_state, cons: ConstraintSet,
     return res, hist
 
 
+def _select_backward(cfg):
+    """'scan' = the reference's sequential recursion; 'pscan' = the
+    horizon-parallel associative-scan formulation (pscan.py)."""
+    if cfg.backward_backend == "pscan":
+        from .pscan import backward_pass_pscan
+
+        return backward_pass_pscan
+    return backward_pass
+
+
 def _make_body(goals, cons, cfg, veh, dt):
     """Shared outer-iteration body used by solve_with_history."""
     dtype = goals.dtype
     reg = cfg.reg
     alphas = jnp.asarray(cfg.line_search.alphas, dtype)
+    bp = _select_backward(cfg)
 
     def body(c: _Carry) -> _Carry:
         A, B = dynamics_jacobian(c.xs[:-1], c.us, dt, veh.wheel_base,
                                  cfg.jacobian_mode)
         Jx, Ju, Hx, Hu = cost_derivatives(c.xs, c.us, goals, cons, cfg, veh)
-        Ks, ks, dV0, dV1 = backward_pass(c.lam, A, B, Jx, Ju, Hx, Hu)
+        Ks, ks, dV0, dV1 = bp(c.lam, A, B, Jx, Ju, Hx, Hu)
         gnorm = gradient_norm(ks, c.us)
         gnorm_done = (gnorm < reg.gradient_norm_min) & (c.lam < 1e-5)
 
@@ -378,12 +389,13 @@ def _make_body_serial(goals, cons, cfg, veh, dt):
     reg = cfg.reg
     alphas = jnp.asarray(cfg.line_search.alphas, dtype)
     n_alpha = len(cfg.line_search.alphas)
+    bp = _select_backward(cfg)
 
     def body(c: _Carry) -> _Carry:
         A, B = dynamics_jacobian(c.xs[:-1], c.us, dt, veh.wheel_base,
                                  cfg.jacobian_mode)
         Jx, Ju, Hx, Hu = cost_derivatives(c.xs, c.us, goals, cons, cfg, veh)
-        Ks, ks, dV0, dV1 = backward_pass(c.lam, A, B, Jx, Ju, Hx, Hu)
+        Ks, ks, dV0, dV1 = bp(c.lam, A, B, Jx, Ju, Hx, Hu)
         gnorm = gradient_norm(ks, c.us)
         gnorm_done = (gnorm < reg.gradient_norm_min) & (c.lam < 1e-5)
 
