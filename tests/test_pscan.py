@@ -129,3 +129,23 @@ def test_solve_with_pscan_backend_converges():
     # rel_cost_tol=1e-2 on |cost|~1e2 permits ~1 unit of slack at the stop
     np.testing.assert_allclose(np.asarray(r_par.cost.total),
                                np.asarray(r_seq.cost.total), atol=1.0)
+
+    # Tight gate: with negligible regularization throughout (lambda_init =
+    # lambda_min) the two λ-placements coincide (test 3 above), so the
+    # backends must agree to fp noise — a real backward-pass regression
+    # cannot hide behind λ-path divergence here. Lanes where a rejection
+    # grew λ are excluded (placements legitimately diverge there); at
+    # least one lane must stay λ-free for the gate to mean anything.
+    reg0 = dataclasses.replace(base.reg, lambda_init=base.reg.lambda_min)
+    cfg_seq0 = dataclasses.replace(cfg_seq, reg=reg0)
+    cfg_par0 = dataclasses.replace(cfg_par, reg=reg0)
+    r_seq0 = solve_batch(goals, starts, cons, cfg_seq0, veh, dt,
+                         backend="vmap")
+    r_par0 = solve_batch(goals, starts, cons, cfg_par0, veh, dt,
+                         backend="vmap")
+    quiet = ((np.asarray(r_seq0.lam) <= 1e-6) &
+             (np.asarray(r_par0.lam) <= 1e-6))
+    assert quiet.any(), (np.asarray(r_seq0.lam), np.asarray(r_par0.lam))
+    np.testing.assert_allclose(np.asarray(r_par0.us)[quiet],
+                               np.asarray(r_seq0.us)[quiet],
+                               rtol=1e-6, atol=1e-6)
