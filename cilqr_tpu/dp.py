@@ -34,6 +34,8 @@ class DpResult(NamedTuple):
     traj: Traj            # 81-knot coarse trajectory
     ok: jnp.ndarray       # scalar bool: min_cost < w_obstacle
     min_cost: jnp.ndarray
+    sel_s: jnp.ndarray    # [NT] winning station indices (traceback)
+    sel_l: jnp.ndarray    # [NT] winning lateral indices
 
 
 def _lateral_offset(cl: Traj, s, l_ind, safe_margin, nl):
@@ -305,4 +307,5 @@ def plan(scn: Scenario, start_x, start_y, start_theta,
         a=accels, jerk=jnp.zeros_like(t),
         delta=jnp.arctan(kappas * cfg.vehicle.wheel_base),
         delta_rate=jnp.zeros_like(t))
-    return DpResult(traj=traj, ok=min_cost < dp.w_obstacle, min_cost=min_cost)
+    return DpResult(traj=traj, ok=min_cost < dp.w_obstacle, min_cost=min_cost,
+                    sel_s=jnp.stack(sel_s), sel_l=jnp.stack(sel_l))

@@ -1,4 +1,13 @@
-"""DP coarse planner tests (vs reference semantics, dp_planner.cpp)."""
+"""DP coarse planner tests (vs reference semantics, dp_planner.cpp).
+
+The golden gate is test_dp_matches_oracle: a literal numpy transcription of
+the reference DP planner (tests/dp_oracle.py, dp_planner.cpp:39-320 plus
+its environment/reference-line dependencies) is run cell-by-cell on real
+pedestrian_test scenarios and must produce the SAME winning (s,l) cells,
+per-layer stations, min_cost, and 81-knot coarse trajectory as the device
+implementation (exact collision mode, f64)."""
+
+import dataclasses
 
 import jax.numpy as jnp
 import numpy as np
@@ -9,7 +18,11 @@ from cilqr_tpu import scenario as SC
 from cilqr_tpu import world as W
 from cilqr_tpu.config import PlannerConfig
 
+import dp_oracle
+
 CFG = PlannerConfig()
+CFG_EXACT = dataclasses.replace(
+    CFG, dp=dataclasses.replace(CFG.dp, collision_mode="exact"))
 
 
 @pytest.fixture(scope="module")
@@ -60,16 +73,60 @@ def test_dp_with_obstacles_still_plans(ped_scn):
     res = DP.plan(ped_scn, 0.0, 0.0, 0.0, CFG, _grid(ped_scn))
     tr = res.traj
     assert np.isfinite(np.asarray(tr.x)).all()
-    # if DP claims success, verify no collision along the trajectory with
-    # the exact checker
-    if bool(res.ok):
-        hit = W.check_optimization_collision(
-            ped_scn, tr.time, tr.x, tr.y, tr.theta,
-            CFG.vehicle.radius, CFG.vehicle.r2x, CFG.vehicle.f2x,
-            collision_buffer=0.0, grid=None, mode="exact")
-        # knot poses come from interpolation; allow no more than a couple
-        # of marginal knots (the DP checks its own interp points)
-        assert int(np.asarray(hit).sum()) <= 3
+    assert bool(res.ok)
+    # The 81 knots ARE the DP's own collision probe points (same
+    # interpolation, dp_planner.cpp:214-245 vs :283-320), so under the
+    # REFERENCE's collision semantics (mutual-corner-containment overlap,
+    # polygon2d.cpp HasOverlap(Box2d)) a successful plan has exactly zero
+    # colliding knots.
+    env = dp_oracle.env_from_scenario(ped_scn)
+    ref_hit = env.check_optimization_collision(
+        np.asarray(tr.time), np.asarray(tr.x), np.asarray(tr.y),
+        np.asarray(tr.theta), CFG.vehicle)
+    assert int(ref_hit.sum()) == 0, np.nonzero(ref_hit)
+    # The device checker uses full SAT overlap (strictly stronger than the
+    # reference's corner-containment): it may flag knots the reference's
+    # probe misses (cross-shaped overlaps), but only marginally.
+    hit = W.check_optimization_collision(
+        ped_scn, tr.time, tr.x, tr.y, tr.theta,
+        CFG.vehicle.radius, CFG.vehicle.r2x, CFG.vehicle.f2x,
+        collision_buffer=0.0, grid=None, mode="exact")
+    assert int(np.asarray(hit).sum()) <= 2
+
+
+# Seeds chosen for winning-path diversity: 0 and 6 force lane + station
+# changes around obstacles, 2 and 3 weave laterally; (3,9)x5 trivial
+# centerline winners (seeds 1,4,5,8,9) are already covered by ped_scn
+# tests above.
+@pytest.mark.parametrize("seed", [0, 2, 3, 6])
+def test_dp_matches_oracle(seed):
+    scn = SC.make_scenario(seed=seed, dtype=jnp.float64)
+    env = dp_oracle.env_from_scenario(scn)
+
+    # the road-barrier set itself must match set_reference's sampling
+    b_scn = np.asarray(scn.barrier_xy)[np.asarray(scn.barrier_mask)]
+    order = lambda b: b[np.lexsort((b[:, 1], b[:, 0]))]
+    assert b_scn.shape == env.barrier.shape
+    np.testing.assert_allclose(order(b_scn), order(env.barrier), atol=1e-12)
+
+    want = dp_oracle.DpOracle(env, CFG).plan(0.0, 0.0, 0.0)
+    got = DP.plan(scn, 0.0, 0.0, 0.0, CFG_EXACT, None)
+
+    # winning cells pinned exactly (a different cell = a different coarse
+    # plan = every downstream corridor and solve changes)
+    got_cells = list(zip(np.asarray(got.sel_s).tolist(),
+                         np.asarray(got.sel_l).tolist()))
+    assert got_cells == want["sel_cells"], (got_cells, want["sel_cells"])
+    np.testing.assert_allclose(float(got.min_cost), want["min_cost"],
+                               rtol=1e-9)
+    assert bool(got.ok) == want["ok"]
+
+    # 81-knot coarse trajectory to fp noise
+    for f, tol in (("s", 1e-9), ("x", 1e-9), ("y", 1e-9), ("theta", 1e-9),
+                   ("velocity", 1e-8), ("a", 1e-7), ("kappa", 1e-9),
+                   ("delta", 1e-9)):
+        np.testing.assert_allclose(np.asarray(getattr(got.traj, f)),
+                                   want[f], atol=tol, err_msg=f)
 
 
 def test_dp_jit_compiles(empty_scn):
