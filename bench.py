@@ -46,12 +46,166 @@ def _load_fixture(dtype):
     return goals, starts, trim_constraints(cons)
 
 
+def _pipeline_bench(latency: bool):
+    """BENCH_MODE=pipeline / pipeline_latency: the FULL replan cycle on
+    device — batched DP coarse search -> corridor construction ->
+    constraint prep -> CILQR solve (pipeline.plan_batch), the reference's
+    per-cycle stage sequence (trajectory_planner.cpp:28-94). Each inner
+    rep perturbs the start state, which changes the DP projection, the
+    corridors, and the solve — every replan is a distinct full problem.
+
+    BENCH_STAGES=1 additionally times each stage's own jit and prints the
+    split to stderr (per-dispatch timing: on the tunneled backend each
+    figure carries the ~50 ms RPC constant, so the split is for locating
+    the wall, not for summing)."""
+    import sys
+
+    import jax
+    import jax.numpy as jnp
+
+    from cilqr_tpu import pipeline, scenario, world
+    from cilqr_tpu.config import PlannerConfig
+
+    cfg = PlannerConfig()
+    B = int(os.environ.get("BENCH_BATCH", "256"))
+    INNER = int(os.environ.get("BENCH_INNER", "2"))
+    REPS = int(os.environ.get("BENCH_REPS", "30" if latency else "4"))
+    BACKEND = os.environ.get("BENCH_BACKEND", "blast")
+    dtype = jnp.float32
+
+    cl = scenario.make_centerline()
+    barriers = scenario.build_road_barriers(cl)
+    grid = world.build_barrier_grid(barriers[0], cfg.dp.grid_cell)
+    lane = pipeline.make_lane_tuple(barriers[1], barriers[2], cfg,
+                                    np.float32)
+    scns = scenario.make_scenario_batch(range(B), dtype=dtype)
+    starts = jnp.tile(jnp.asarray([0.0, 0.0, 0.0, 10.0], dtype), (B, 1))
+    rng = np.random.default_rng(1)
+
+    if latency:
+        @jax.jit
+        def step_once(scns, starts, d):
+            out = pipeline.plan_batch(scns, starts.at[:, 1].add(d), cfg,
+                                      grid, lane, backend=BACKEND)
+            return out.solve.us.sum(), out.solve.iters.sum(), out.ok.sum()
+
+        jax.block_until_ready(step_once(
+            scns, starts, jnp.asarray(rng.uniform(-0.2, 0.2, B), dtype)))
+        lat = []
+        for _ in range(REPS):
+            d = jnp.asarray(rng.uniform(-0.2, 0.2, B), dtype)
+            jax.block_until_ready(d)
+            t0 = time.perf_counter()
+            out = step_once(scns, starts, d)
+            _ = float(out[0])
+            lat.append((time.perf_counter() - t0) * 1e3)
+        p99 = float(np.percentile(lat, 99))
+        print(json.dumps({
+            "metric": f"batch{B}_full_replan_p99_ms",
+            "value": round(p99, 2),
+            "unit": "ms",
+            "vs_baseline": round(100.0 / p99, 3),
+        }))
+        return
+
+    @jax.jit
+    def step_many(scns, starts, deltas):
+        def one(d):
+            out = pipeline.plan_batch(scns, starts.at[:, 1].add(d), cfg,
+                                      grid, lane, backend=BACKEND)
+            return out.solve.us.sum(), out.solve.iters.sum(), out.ok.sum()
+
+        us_sum, it_sum, ok_sum = jax.lax.map(one, deltas)
+        return us_sum.sum(), it_sum.sum(), ok_sum.sum()
+
+    def mk_deltas():
+        return jnp.asarray(rng.uniform(-0.2, 0.2, (INNER, B)), dtype)
+
+    out = step_many(scns, starts, mk_deltas())
+    jax.block_until_ready(out)
+    ok_frac = float(out[2]) / (B * INNER)
+
+    times = []
+    for _ in range(REPS):
+        d = mk_deltas()
+        jax.block_until_ready(d)
+        t0 = time.perf_counter()
+        out = step_many(scns, starts, d)
+        _ = float(out[0])
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    rate = B * INNER / best
+
+    if os.environ.get("BENCH_STAGES"):
+        from cilqr_tpu import corridor as corridor_mod
+        from cilqr_tpu import costs as costs_mod
+        from cilqr_tpu import dp as dp_mod
+        from cilqr_tpu.batch import solve_batch as _sb
+
+        def dp_stage(scns, starts):
+            return jax.vmap(lambda s, st: dp_mod.plan(
+                s, st[0], st[1], st[2], cfg, grid))(scns, starts)
+
+        def cor_stage(scns, trajs):
+            return jax.vmap(lambda s, tr: corridor_mod.plan_corridors(
+                s, tr, cfg.corridor, lane))(scns, trajs)
+
+        def prep_solve_stage(cors, goals, start6):
+            cons = costs_mod.shrink_and_normalize(
+                cors.planes, cors.plane_mask,
+                cors.left_planes, cors.left_segs, cors.left_mask,
+                cors.right_planes, cors.right_segs, cors.right_mask,
+                cfg.ilqr, cfg.vehicle)
+            return _sb(goals, start6, cons, cfg.ilqr, cfg.vehicle,
+                       cfg.delta_t, backend=BACKEND)
+
+        dp_j = jax.jit(dp_stage)
+        cor_j = jax.jit(cor_stage)
+        ps_j = jax.jit(prep_solve_stage)
+        start6 = jnp.concatenate(
+            [starts, jnp.zeros((B, 2), dtype)], axis=-1)
+
+        def timed(f, *a):
+            out = f(*a)
+            jax.block_until_ready(out)
+            ts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                out = f(*a)
+                jax.block_until_ready(out)
+                ts.append(time.perf_counter() - t0)
+            return out, min(ts) * 1e3
+
+        dp_res, t_dp = timed(dp_j, scns, starts)
+        cors, t_cor = timed(cor_j, scns, dp_res.traj)
+        goals = jnp.stack([dp_res.traj.x, dp_res.traj.y, dp_res.traj.theta,
+                           dp_res.traj.velocity, dp_res.traj.a,
+                           dp_res.traj.delta], axis=-1)
+        _, t_solve = timed(ps_j, cors, goals, start6)
+        print(f"stage split (ms per batch-{B} dispatch, incl. RPC "
+              f"constant): dp={t_dp:.1f} corridor={t_cor:.1f} "
+              f"prep+solve={t_solve:.1f}", file=sys.stderr)
+
+    print(f"converged+ok fraction: {ok_frac:.4f}", file=sys.stderr)
+    print(json.dumps({
+        "metric": "full_replans_per_s_per_chip",
+        "value": round(rate, 2),
+        "unit": "replans/s",
+        "vs_baseline": round(rate / 1000.0, 3),
+    }))
+
+
 def main():
     import jax
     import jax.numpy as jnp
 
     from cilqr_tpu.batch import solve_batch
     from cilqr_tpu.config import PlannerConfig
+
+    mode = os.environ.get("BENCH_MODE", "")
+    if mode.startswith("pipeline"):
+        _pipeline_bench(latency=mode == "pipeline_latency")
+        return
 
     # Default batch 1024: the 256-problem fixture tiled 4x with per-rep
     # perturbed start states (each instance is a distinct problem). The

@@ -49,6 +49,19 @@ def shard_batch(mesh: Mesh, tree):
     return jax.tree.map(lambda a: jax.device_put(a, sharding), tree)
 
 
+def global_batch(mesh: Mesh, tree):
+    """Assemble global sharded arrays from PER-PROCESS local shards
+    (multi-process path, BASELINE configs 4-5): each process passes its own
+    slice of the batch; host_local_array_to_global_array stitches them into
+    global jax.Arrays addressable through the global mesh without any
+    gather. Single-process: equivalent to shard_batch."""
+    from jax.experimental import multihost_utils
+
+    return jax.tree.map(
+        lambda a: multihost_utils.host_local_array_to_global_array(
+            np.asarray(a), mesh, P("batch")), tree)
+
+
 def sharded_solve_step(cfg: PlannerConfig, mesh: Mesh,
                        backend: str = "blast"):
     """Build the sharded batched-solve step (the 'training step' analog):

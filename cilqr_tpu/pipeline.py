@@ -97,6 +97,50 @@ def plan(scn: Scenario, start, cfg: PlannerConfig,
                       solve=res, ok=ok)
 
 
+def plan_batch(scns: Scenario, starts, cfg: PlannerConfig, grid, lane,
+               backend: str = "blast") -> PlanOutput:
+    """Batched full pipeline on device: vmapped DP -> vmapped corridors ->
+    constraint prep -> batched CILQR solve.
+
+    Unlike ``jax.vmap(plan)``, the solve stage goes through
+    ``batch.solve_batch`` so the fast batch-last (blast) solver with
+    converged-lane compaction carries the batch, not the vmapped
+    single-problem solver. This is the replan step the full-pipeline
+    benchmark times (the reference's per-cycle DP -> corridor -> iLQR
+    sequence, trajectory_planner.cpp:28-94).
+
+    scns:   Scenario pytree with leading batch axis [B] (shared road).
+    starts: [B, 4] (x, y, theta, v) start states.
+    grid/lane: host-precomputed per road (shared across the batch).
+    """
+    from .batch import solve_batch
+
+    def dp_one(scn, st):
+        return dp_mod.plan(scn, st[0], st[1], st[2], cfg, grid)
+
+    dp_res = jax.vmap(dp_one)(scns, starts)
+
+    cors = jax.vmap(
+        lambda scn, tr: corridor_mod.plan_corridors(scn, tr, cfg.corridor,
+                                                    lane))(scns, dp_res.traj)
+
+    cons = costs_mod.shrink_and_normalize(
+        cors.planes, cors.plane_mask,
+        cors.left_planes, cors.left_segs, cors.left_mask,
+        cors.right_planes, cors.right_segs, cors.right_mask,
+        cfg.ilqr, cfg.vehicle)
+
+    goals = coarse_to_states(dp_res.traj)                     # [B, N, 6]
+    dtype = goals.dtype
+    zeros = jnp.zeros(starts.shape[:-1] + (2,), dtype)
+    start_state = jnp.concatenate([starts.astype(dtype), zeros], axis=-1)
+    res = solve_batch(goals, start_state, cons, cfg.ilqr, cfg.vehicle,
+                      cfg.delta_t, backend=backend)
+    ok = dp_res.ok & cors.ok.all(axis=-1)
+    return PlanOutput(coarse=dp_res.traj, dp_ok=dp_res.ok, corridors=cors,
+                      solve=res, ok=ok)
+
+
 def plan_jit(cfg: PlannerConfig):
     """A jit-compiled planner closure over static config. grid/lane must be
     passed explicitly (device arrays / pytrees)."""

@@ -1,0 +1,72 @@
+"""Multi-process jax.distributed worker, spawned by
+tests/test_multiprocess_dist.py (one subprocess per simulated host).
+
+Each process: init_distributed -> global 1-D batch mesh over BOTH
+processes' virtual CPU devices -> contributes its own slice of the problem
+batch via dist.global_batch (host_local_array_to_global_array) -> runs the
+sharded solve step whose convergence stats psum across processes ->
+process 0 prints the globally-reduced stats.
+
+This executes the real multi-host code path (BASELINE configs 4-5,
+SURVEY.md §4 item 4) on the CPU backend without a pod.
+"""
+
+import argparse
+import json
+import os
+import sys
+
+# __graft_entry__ lives at the repo root; the worker is launched from
+# tests/, so sys.path[0] is tests/
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--coordinator", required=True)
+    ap.add_argument("--nproc", type=int, required=True)
+    ap.add_argument("--pid", type=int, required=True)
+    ap.add_argument("--batch", type=int, default=16)
+    args = ap.parse_args()
+
+    import jax
+
+    # the container pins an 'axon' TPU plugin; force CPU before any
+    # backend init (env JAX_PLATFORMS is ignored, see tests/conftest.py)
+    jax.config.update("jax_platforms", "cpu")
+
+    from cilqr_tpu.dist import (global_batch, init_distributed,
+                                make_batch_mesh, sharded_solve_step)
+
+    init_distributed(args.coordinator, args.nproc, args.pid)
+    assert jax.process_count() == args.nproc, jax.process_count()
+
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _synthetic_problem
+
+    mesh = make_batch_mesh()  # global mesh: all processes' devices
+    n_dev = len(jax.devices())
+
+    cfg, goals, starts, cons = _synthetic_problem(
+        batch=args.batch, n_knots=21, dtype=jnp.float32)
+    lo = args.pid * args.batch // args.nproc
+    hi = (args.pid + 1) * args.batch // args.nproc
+    local = jax.tree.map(lambda a: a[lo:hi], (goals, starts, cons))
+    g_goals, g_starts, g_cons = global_batch(mesh, local)
+
+    step = sharded_solve_step(cfg, mesh)
+    res, stats = step(g_goals, g_starts, g_cons)
+    jax.block_until_ready(stats)
+
+    if jax.process_index() == 0:
+        out = {k: float(v) for k, v in stats.items()}
+        out["n_devices"] = n_dev
+        out["n_processes"] = jax.process_count()
+        print("STATS " + json.dumps(out), flush=True)
+
+    jax.distributed.shutdown()
+
+
+if __name__ == "__main__":
+    main()
