@@ -269,9 +269,18 @@ def _nearest_lane_sel(cx, cy, lane):
 
 
 def _cost_stack_bl(xs, us, goals, cbl: ConsBL, cfg, veh, want_derivs):
-    """Cost components [B] (+ optionally Jx [N,6,B], Ju [T,2,B],
-    Hx [N,6,6,B], Hu [T,2,2,B]) — TotalCost / CostJacbian / CostHessian
-    (ilqr_optimizer.cc:417-769) in batch-last form, no gathers/scatters."""
+    """Cost components [B] plus PER-KNOT totals pk [N, B] (+ optionally
+    Jx [N,6,B], Ju [T,2,B], Hx [N,6,6,B], Hu [T,2,2,B]) — TotalCost /
+    CostJacbian / CostHessian (ilqr_optimizer.cc:417-769) in batch-last
+    form, no gathers/scatters.
+
+    pk exists so the outer loop can compute dcost = sum_k(pk_old - pk_new)
+    instead of the reference's total_old - total_new: subtracting two ~1e3
+    sums that differ by ~1e-2 is catastrophic cancellation in f32 (the
+    accept/stop thresholds sit exactly at the noise floor — measured 30%
+    decision-flip rate vs f64 on the fixture), while summing per-knot
+    differences keeps the error relative to dcost itself. In f64 the two
+    forms agree to ~1e-13 and decisions are identical."""
     bar = RelaxBarrier(cfg.barrier.t, cfg.barrier.epsilon)
     w = cfg.weights
     dtype = xs.dtype
@@ -282,10 +291,10 @@ def _cost_stack_bl(xs, us, goals, cbl: ConsBL, cfg, veh, want_derivs):
     dx = xs[0] - goals[0]
     dy = xs[1] - goals[1]
     dth = xs[2] - goals[2]
-    j_cost = jnp.sum(w.x_target * dx * dx + w.y_target * dy * dy
-                     + w.theta * dth * dth, axis=0)
-    j_cost = j_cost + jnp.sum(w.jerk * us[0] ** 2
-                              + w.delta_rate * us[1] ** 2, axis=0)
+    jk_x = (w.x_target * dx * dx + w.y_target * dy * dy
+            + w.theta * dth * dth)                      # [N, B]
+    jk_u = w.jerk * us[0] ** 2 + w.delta_rate * us[1] ** 2   # [T, B]
+    j_cost = jnp.sum(jk_x, axis=0) + jnp.sum(jk_u, axis=0)
 
     # state/control limit constraint values g <= 0 (order as costs.py)
     gx = [(-xs[3], 3, -1.0), (xs[3] - veh.max_velocity, 3, 1.0),
@@ -295,16 +304,17 @@ def _cost_stack_bl(xs, us, goals, cbl: ConsBL, cfg, veh, want_derivs):
     gu = [(us[0] - veh.jerk_max, 0, 1.0), (veh.jerk_min - us[0], 0, -1.0),
           (us[1] - veh.delta_rate_max, 1, 1.0),
           (veh.delta_rate_min - us[1], 1, -1.0)]
-    dyn_cost = (sum(jnp.sum(bar.value(g), axis=0) for g, _, _ in gx)
-                + sum(jnp.sum(bar.value(g), axis=0) for g, _, _ in gu))
+    dynk_x = sum(bar.value(g) for g, _, _ in gx)        # [N, B]
+    dynk_u = sum(bar.value(g) for g, _, _ in gu)        # [T, B]
+    dyn_cost = jnp.sum(dynk_x, axis=0) + jnp.sum(dynk_u, axis=0)
 
     # disc geometry [D] offsets; per-disc centers [N, B]
     offs = _disc_offsets(cfg, veh, dtype)
     ct = jnp.cos(xs[2])
     st = jnp.sin(xs[2])
 
-    corr_cost = jnp.zeros((B,), dtype)
-    lane_cost = jnp.zeros((B,), dtype)
+    corrk = jnp.zeros((N, B), dtype)
+    lanek = jnp.zeros((N, B), dtype)
 
     if want_derivs:
         jx = [jnp.zeros((N, B), dtype) for _ in range(6)]
@@ -347,7 +357,7 @@ def _cost_stack_bl(xs, us, goals, cbl: ConsBL, cfg, veh, want_derivs):
         # corridor barriers over [N, KC, B]
         g = (cbl.ca * cxd[:, None] + cbl.cb * cyd[:, None] - cbl.cc)
         val = jnp.where(cbl.cm, bar.value(g), 0.0)
-        corr_cost = corr_cost + jnp.sum(val, axis=(0, 1))
+        corrk = corrk + jnp.sum(val, axis=1)
         if want_derivs:
             dthk = -cbl.ca * ls[:, None] + cbl.cb * lc[:, None]
             gf = jnp.where(cbl.cm, bar.grad_factor(g), 0.0)
@@ -368,7 +378,7 @@ def _cost_stack_bl(xs, us, goals, cbl: ConsBL, cfg, veh, want_derivs):
         for lane in cbl.lanes:
             la, lb, lcc = _nearest_lane_sel(cxd, cyd, lane)
             lg = la * cxd + lb * cyd - lcc
-            lane_cost = lane_cost + jnp.sum(bar.value(lg), axis=0)
+            lanek = lanek + bar.value(lg)
             if want_derivs:
                 ldth = -la * ls + lb * lc
                 lgf = bar.grad_factor(lg)
@@ -383,11 +393,15 @@ def _cost_stack_bl(xs, us, goals, cbl: ConsBL, cfg, veh, want_derivs):
                         hadd(i, j, lhf * lcmp[i] * lcmp[j])
                 hadd(2, 2, lhd * lddx22)
 
+    corr_cost = jnp.sum(corrk, axis=0)
+    lane_cost = jnp.sum(lanek, axis=0)
     cost = CostBreakdown(total=j_cost + dyn_cost + corr_cost + lane_cost,
                          target=j_cost, dynamic=dyn_cost,
                          corridor=corr_cost, lane=lane_cost)
+    pk = jk_x + dynk_x + corrk + lanek
+    pk = pk.at[:T].add(jk_u + dynk_u)
     if not want_derivs:
-        return cost
+        return cost, pk
 
     zeros_nb = jnp.zeros((N, B), dtype)
     Jx = jnp.stack(jx, axis=1)                          # [N, 6, B]
@@ -401,7 +415,7 @@ def _cost_stack_bl(xs, us, goals, cbl: ConsBL, cfg, veh, want_derivs):
         jnp.stack([hu.get((min(i, j), max(i, j)), zeros_tb)
                    for j in range(2)], axis=1)
         for i in range(2)], axis=1)                     # [T, 2, 2, B]
-    return cost, Jx, Ju, Hx, Hu
+    return cost, pk, Jx, Ju, Hx, Hu
 
 
 # ---------------------------------------------------------------------------
@@ -478,6 +492,7 @@ class _CarryBL(NamedTuple):
     xs: jnp.ndarray        # [6, N, B]
     us: jnp.ndarray        # [2, T, B]
     cost: CostBreakdown    # [B] leaves
+    pc: jnp.ndarray        # [N, B] per-knot costs of the current iterate
     lam: jnp.ndarray       # [B]
     dlam: jnp.ndarray
     status: jnp.ndarray    # [B] int32
@@ -509,7 +524,7 @@ def _make_body(goals, cbl, cfg: IlqrConfig, veh: VehicleParam, dt, dtype, T_):
     def body(c: _CarryBL) -> _CarryBL:
         A, Bm = _jacobians_bl(c.xs[:, :-1], c.us, dt, veh.wheel_base)
         cost_d = _cost_stack_bl(c.xs, c.us, goals, cbl, cfg, veh, True)
-        _, Jx, Ju, Hx, Hu = cost_d
+        _, _, Jx, Ju, Hx, Hu = cost_d
         a = alphas[c.aidx]                                # [B]
         if use_pallas:
             from .pallas.sweep import riccati_sweep
@@ -530,8 +545,12 @@ def _make_body(goals, cbl, cfg: IlqrConfig, veh: VehicleParam, dt, dtype, T_):
             gnorm_done = (gnorm < reg.gradient_norm_min) & (c.lam < 1e-5)
             nxs, nus = _forward_bl(a, c.xs, c.us, Ks, ks, goals, dt,
                                    veh.wheel_base, unroll=unroll)
-        ncost = _cost_stack_bl(nxs, nus, goals, cbl, cfg, veh, False)
-        dcost = c.cost.total - ncost.total
+        ncost, npc = _cost_stack_bl(nxs, nus, goals, cbl, cfg, veh, False)
+        # dcost as a sum of per-knot differences, NOT total_old - total_new:
+        # in f32 the reference's form cancels two ~1e3 sums at the decision
+        # thresholds' noise floor (see _cost_stack_bl docstring); f64 agrees
+        # with the reference form to ~1e-13.
+        dcost = jnp.sum(c.pc - npc, axis=0)
         expected = -a * (dV0 + a * dV1)
         z = dcost / expected
         accept = ((z > cfg.line_search.beta_min) &
@@ -563,6 +582,7 @@ def _make_body(goals, cbl, cfg: IlqrConfig, veh: VehicleParam, dt, dtype, T_):
             us=jnp.where(accept, nus, c.us),
             cost=jax.tree.map(lambda n, o: jnp.where(accept, n, o),
                               ncost, c.cost),
+            pc=jnp.where(accept, npc, c.pc),
             lam=pick3(lam_acc, lam_rej, c.lam),
             dlam=pick3(dlam_acc, dlam_rej, c.dlam),
             status=pick3(status_acc, status_rej,
@@ -578,6 +598,7 @@ def _make_body(goals, cbl, cfg: IlqrConfig, veh: VehicleParam, dt, dtype, T_):
             xs=keep_gnorm(new.xs, c.xs),
             us=keep_gnorm(new.us, c.us),
             cost=jax.tree.map(keep_gnorm, new.cost, c.cost),
+            pc=keep_gnorm(new.pc, c.pc),
             lam=keep_gnorm(new.lam, c.lam),
             dlam=keep_gnorm(new.dlam, c.dlam),
             status=jnp.where(gnorm_done,
@@ -638,9 +659,9 @@ def _prep(goals_bf, starts, cons, cfg, veh, dt, warm_start):
     xs0 = _bl(xs0_bf)
     us0 = _bl(us0_bf)
     cbl = cons_to_bl(cons, goals_bl=goals, lane_window=cfg.lane_window)
-    cost0 = _cost_stack_bl(xs0, us0, goals, cbl, cfg, veh, False)
+    cost0, pc0 = _cost_stack_bl(xs0, us0, goals, cbl, cfg, veh, False)
     init = _CarryBL(
-        xs=xs0, us=us0, cost=cost0,
+        xs=xs0, us=us0, cost=cost0, pc=pc0,
         lam=jnp.full((B,), cfg.reg.lambda_init, dtype),
         dlam=jnp.ones((B,), dtype),
         status=jnp.full((B,), SolverStatus.RUNNING, jnp.int32),
@@ -681,6 +702,7 @@ class _StateBF(NamedTuple):
     xs: jnp.ndarray        # [B, N, 6]
     us: jnp.ndarray        # [B, T, 2]
     cost: CostBreakdown    # [B] leaves
+    pc: jnp.ndarray        # [B, N]
     lam: jnp.ndarray
     dlam: jnp.ndarray
     status: jnp.ndarray
@@ -689,12 +711,14 @@ class _StateBF(NamedTuple):
 
 
 def _carry_to_bf(c: _CarryBL) -> _StateBF:
-    return _StateBF(xs=_bf(c.xs), us=_bf(c.us), cost=c.cost, lam=c.lam,
+    return _StateBF(xs=_bf(c.xs), us=_bf(c.us), cost=c.cost,
+                    pc=jnp.moveaxis(c.pc, 0, 1), lam=c.lam,
                     dlam=c.dlam, status=c.status, it=c.it, aidx=c.aidx)
 
 
 def _carry_from_bf(s: _StateBF) -> _CarryBL:
-    return _CarryBL(xs=_bl(s.xs), us=_bl(s.us), cost=s.cost, lam=s.lam,
+    return _CarryBL(xs=_bl(s.xs), us=_bl(s.us), cost=s.cost,
+                    pc=jnp.moveaxis(s.pc, 0, 1), lam=s.lam,
                     dlam=s.dlam, status=s.status, it=s.it, aidx=s.aidx)
 
 
