@@ -68,4 +68,6 @@ def load_result(path) -> SolveResult:
                            dynamic=get("cost/dynamic"),
                            corridor=get("cost/corridor"),
                            lane=get("cost/lane")),
-        lam=get("lam"), init_xs=get("init_xs"), init_us=get("init_us"))
+        lam=get("lam"), init_xs=get("init_xs"), init_us=get("init_us"),
+        lane_clipped=(get("lane_clipped")
+                      if "res:lane_clipped" in data else None))

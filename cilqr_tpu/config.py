@@ -143,6 +143,14 @@ class IlqrConfig:
     # (vehicle_model.cc:44-86, including its v-vs-v_mid quirk); 'autodiff'
     # uses jax.jacfwd of the RK2 step (exact).
     jacobian_mode: str = "analytic"
+    # Initial-guess path. The reference switches between the backward-LQR
+    # 'iqr' (default, ilqr_optimizer.cc:168-169,793-842) and the Tracker
+    # simulation 'tracker' (InitGuess, :107-139) by EDITING THE SOURCE;
+    # here it is config. The pipeline reads this (pipeline.plan/plan_batch)
+    # and feeds the tracker rollout to the solver as its warm start; the
+    # tracker needs the full coarse trajectory (time/s fields), which the
+    # bare solve() entry points don't carry.
+    init_guess: str = "iqr"
     # lax.scan unroll factor for the backward/forward horizon sweeps. On
     # TPU each XLA loop iteration costs ~tens of us of carry round-trip
     # overhead — 160 sequential steps per solver trip dominate the solve

@@ -32,7 +32,12 @@ def solve_lqr(A, B, Q, R, tolerance=0.01, max_iter=150, M=None):
         APB = AT @ P @ B + M
         inv = jnp.linalg.inv(R + BT @ P @ B)
         P_next = AT @ P @ A - APB @ inv @ (BT @ P @ A + MT) + Q
-        diff = jnp.max(jnp.abs(P_next - P))
+        # reference quirk: |max coefficient| of the difference, NOT the
+        # max |coefficient| (linear_quadratic_regulator.cc:54,
+        # fabs((P_next - P).maxCoeff())) — at the loose tolerances the
+        # tracker uses (0.01) this changes the stopping iteration, so it
+        # must match for parity.
+        diff = jnp.abs(jnp.max(P_next - P))
         return P_next, it + 1, diff
 
     P0 = Q

@@ -30,6 +30,15 @@ class MpcCarry(NamedTuple):
     cycle_time: jnp.ndarray  # absolute time of plan knot 0
 
 
+class MpcStepOut(NamedTuple):
+    solve: SolveResult
+    # all 81 per-knot corridors built successfully this cycle; a False
+    # means the solve ran against a degenerate corridor (corridor.cc's
+    # failure modes: <4 flip points / empty inputs) and the cycle's output
+    # must not be trusted by the caller
+    corridor_ok: jnp.ndarray
+
+
 def _shift_plan(xs, us):
     """Shift one knot forward; hold the tail."""
     xs_n = jnp.concatenate([xs[1:], xs[-1:]], axis=0)
@@ -38,9 +47,10 @@ def _shift_plan(xs, us):
 
 
 def mpc_step(scn: Scenario, carry: MpcCarry, cfg: PlannerConfig,
-             grid, lane) -> tuple[MpcCarry, SolveResult]:
+             grid, lane) -> tuple[MpcCarry, MpcStepOut]:
     """One replan cycle: shift, rebuild corridors at shifted absolute times,
-    warm-started solve."""
+    warm-started solve. Surfaces per-cycle corridor validity (cors.ok) —
+    the reference silently proceeds on corridor failure."""
     goals, warm_us = _shift_plan(carry.xs, carry.us)
     t_new = carry.cycle_time + cfg.delta_t
     n = goals.shape[0]
@@ -58,19 +68,56 @@ def mpc_step(scn: Scenario, carry: MpcCarry, cfg: PlannerConfig,
     start_state = goals[0]
     res = solver_mod.solve(goals, start_state, cons, cfg.ilqr, cfg.vehicle,
                            cfg.delta_t, warm_start=(goals, warm_us))
-    return MpcCarry(xs=res.xs, us=res.us, cycle_time=t_new), res
+    out = MpcStepOut(solve=res, corridor_ok=cors.ok.all())
+    return MpcCarry(xs=res.xs, us=res.us, cycle_time=t_new), out
+
+
+def mpc_step_batch(scns: Scenario, carry: MpcCarry, cfg: PlannerConfig,
+                   lane, backend: str = "blast"
+                   ) -> tuple[MpcCarry, MpcStepOut]:
+    """Batched replan cycle (BASELINE config 4 throughput path): every
+    carry leaf and scns leaf has a leading batch axis [B]; corridors are
+    vmapped and the solve goes through the fast batch-last solver with
+    per-lane warm starts instead of a vmapped single-problem solve."""
+    from .batch import solve_batch
+
+    goals, warm_us = jax.vmap(_shift_plan)(carry.xs, carry.us)
+    t_new = carry.cycle_time + cfg.delta_t
+    n = goals.shape[1]
+    times = (t_new[:, None]
+             + cfg.delta_t * jnp.arange(n, dtype=goals.dtype)[None])
+
+    def one_cors(scn, g, t):
+        pred = Traj.zeros(n, goals.dtype).replace(
+            x=g[:, 0], y=g[:, 1], theta=g[:, 2], time=t)
+        return corridor_mod.plan_corridors(scn, pred, cfg.corridor, lane)
+
+    cors = jax.vmap(one_cors)(scns, goals, times)
+    cons = costs_mod.shrink_and_normalize(
+        cors.planes, cors.plane_mask,
+        cors.left_planes, cors.left_segs, cors.left_mask,
+        cors.right_planes, cors.right_segs, cors.right_mask,
+        cfg.ilqr, cfg.vehicle)
+
+    res = solve_batch(goals, goals[:, 0], cons, cfg.ilqr, cfg.vehicle,
+                      cfg.delta_t, warm_start=(goals, warm_us),
+                      backend=backend)
+    out = MpcStepOut(solve=res, corridor_ok=cors.ok.all(axis=-1))
+    return MpcCarry(xs=res.xs, us=res.us, cycle_time=t_new), out
 
 
 def run_mpc(scn: Scenario, start, cfg: PlannerConfig, n_cycles: int,
             grid=None, lane=None):
     """Initial full plan + n_cycles warm-started replans. Returns the list
-    of SolveResults (host loop; each cycle jitted)."""
+    of MpcStepOut (host loop; each cycle jitted); entry 0 wraps the initial
+    plan with its own corridor validity."""
     if grid is None and cfg.dp.collision_mode == "grid":
         import numpy as np
 
         from .world import build_barrier_grid
 
-        grid = build_barrier_grid(np.asarray(scn.barrier_xy), cfg.dp.grid_cell)
+        grid = build_barrier_grid(np.asarray(scn.barrier_xy), cfg.dp.grid_cell,
+                                  half=cfg.vehicle.radius)
     if lane is None:
         lane = pipeline_mod.make_lane_tuple(scn.left_barrier_xy,
                                             scn.right_barrier_xy, cfg)
@@ -79,19 +126,34 @@ def run_mpc(scn: Scenario, start, cfg: PlannerConfig, n_cycles: int,
     carry = MpcCarry(xs=out0.solve.xs, us=out0.solve.us,
                      cycle_time=jnp.zeros((), out0.solve.xs.dtype))
     step = jax.jit(lambda c: mpc_step(scn, c, cfg, grid, lane))
-    results = [out0.solve]
+    results = [MpcStepOut(solve=out0.solve,
+                          corridor_ok=out0.corridors.ok.all())]
     for _ in range(n_cycles):
-        carry, res = step(carry)
-        results.append(res)
+        carry, out = step(carry)
+        results.append(out)
     return results
 
 
 def mpc_scan(scn: Scenario, carry: MpcCarry, cfg: PlannerConfig, grid, lane,
              n_cycles: int):
     """Fully-jitted MPC rollout via lax.scan (for benchmarking): returns
-    (final carry, stacked statuses/iters/final costs)."""
+    (final carry, stacked (status, iters, final cost, corridor_ok))."""
     def body(c, _):
-        c2, res = mpc_step(scn, c, cfg, grid, lane)
-        return c2, (res.status, res.iters, res.cost.total)
+        c2, out = mpc_step(scn, c, cfg, grid, lane)
+        return c2, (out.solve.status, out.solve.iters,
+                    out.solve.cost.total, out.corridor_ok)
+
+    return jax.lax.scan(body, carry, None, length=n_cycles)
+
+
+def mpc_scan_batch(scns: Scenario, carry: MpcCarry, cfg: PlannerConfig,
+                   lane, n_cycles: int, backend: str = "blast"):
+    """Fully-jitted BATCHED MPC rollout: n_cycles of mpc_step_batch.
+    Returns (final carry, stacked [C, B] (status, iters, cost,
+    corridor_ok)) — the BENCH_MODE=mpc workload."""
+    def body(c, _):
+        c2, out = mpc_step_batch(scns, c, cfg, lane, backend=backend)
+        return c2, (out.solve.status, out.solve.iters,
+                    out.solve.cost.total, out.corridor_ok)
 
     return jax.lax.scan(body, carry, None, length=n_cycles)

@@ -64,6 +64,24 @@ def make_lane_tuple(scn_left_barrier, scn_right_barrier, cfg: PlannerConfig,
         cfg.corridor, dtype)
 
 
+def _init_guess_warm_start(cfg: PlannerConfig, start_state, coarse: Traj):
+    """IlqrConfig.init_guess wiring — the reference's source-edit switch
+    between the backward-LQR iqr() init and the Tracker simulation
+    (ilqr_optimizer.cc:107-139,168-169). Returns a solver warm_start
+    (xs, us) for 'tracker', or None for 'iqr' (the solver then runs
+    iqr_init itself). start_state may be batched [..., 6]."""
+    if cfg.ilqr.init_guess == "iqr":
+        return None
+    if cfg.ilqr.init_guess != "tracker":
+        raise ValueError(f"unknown init_guess {cfg.ilqr.init_guess!r}")
+    from . import tracker as tracker_mod
+
+    f = lambda st, tr: tracker_mod.plan(st, tr, cfg.tracker, cfg.vehicle)
+    if start_state.ndim == 2:
+        return jax.vmap(f)(start_state, coarse)
+    return f(start_state, coarse)
+
+
 def plan(scn: Scenario, start, cfg: PlannerConfig,
          grid: BarrierGrid | None = None, lane=None) -> PlanOutput:
     """TrajectoryPlanner::Plan (trajectory_planner.cpp:28-162).
@@ -73,7 +91,8 @@ def plan(scn: Scenario, start, cfg: PlannerConfig,
     per road; built on the fly if omitted (not jit-compatible then).
     """
     if grid is None and cfg.dp.collision_mode == "grid":
-        grid = build_barrier_grid(np.asarray(scn.barrier_xy), cfg.dp.grid_cell)
+        grid = build_barrier_grid(np.asarray(scn.barrier_xy), cfg.dp.grid_cell,
+                                  half=cfg.vehicle.radius)
     if lane is None:
         lane = make_lane_tuple(scn.left_barrier_xy, scn.right_barrier_xy, cfg)
 
@@ -90,8 +109,9 @@ def plan(scn: Scenario, start, cfg: PlannerConfig,
     goals = coarse_to_states(dp_res.traj)
     dtype = goals.dtype
     start_state = jnp.asarray([sx, sy, sth, sv, 0.0, 0.0], dtype)
+    warm = _init_guess_warm_start(cfg, start_state, dp_res.traj)
     res = solver_mod.solve(goals, start_state, cons, cfg.ilqr, cfg.vehicle,
-                           cfg.delta_t)
+                           cfg.delta_t, warm_start=warm)
     ok = dp_res.ok & cors.ok.all()
     return PlanOutput(coarse=dp_res.traj, dp_ok=dp_res.ok, corridors=cors,
                       solve=res, ok=ok)
@@ -134,8 +154,9 @@ def plan_batch(scns: Scenario, starts, cfg: PlannerConfig, grid, lane,
     dtype = goals.dtype
     zeros = jnp.zeros(starts.shape[:-1] + (2,), dtype)
     start_state = jnp.concatenate([starts.astype(dtype), zeros], axis=-1)
+    warm = _init_guess_warm_start(cfg, start_state, dp_res.traj)
     res = solve_batch(goals, start_state, cons, cfg.ilqr, cfg.vehicle,
-                      cfg.delta_t, backend=backend)
+                      cfg.delta_t, backend=backend, warm_start=warm)
     ok = dp_res.ok & cors.ok.all(axis=-1)
     return PlanOutput(coarse=dp_res.traj, dp_ok=dp_res.ok, corridors=cors,
                       solve=res, ok=ok)

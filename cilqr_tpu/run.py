@@ -224,10 +224,12 @@ def main(argv=None):
         t0 = time.perf_counter()
         results = run_mpc(scn, start, cfg, args.cycles)
         wall = time.perf_counter() - t0
-        statuses = [SolverStatus(int(r.status)).name for r in results]
-        iters = [int(r.iters) for r in results]
+        statuses = [SolverStatus(int(r.solve.status)).name for r in results]
+        iters = [int(r.solve.iters) for r in results]
+        cor_ok = sum(bool(r.corridor_ok) for r in results)
         print(f"mpc cycles={args.cycles} wall={wall:.2f}s "
-              f"iters: first={iters[0]} mean_rest={np.mean(iters[1:]):.1f}")
+              f"iters: first={iters[0]} mean_rest={np.mean(iters[1:]):.1f} "
+              f"corridor_ok={cor_ok}/{len(results)}")
         print("statuses:", {s: statuses.count(s) for s in set(statuses)})
         return 0
 

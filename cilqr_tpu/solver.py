@@ -218,7 +218,9 @@ def solve(coarse_xs, start_state, cons: ConstraintSet,
                        jnp.int32(SolverStatus.MAX_ITER), final.status)
     return SolveResult(xs=final.xs, us=final.us, status=status,
                        iters=final.it, cost=final.cost, lam=final.lam,
-                       init_xs=xs0, init_us=us0)
+                       init_xs=xs0, init_us=us0,
+                       # this path always runs the FULL lane-segment scan
+                       lane_clipped=jnp.zeros((), bool))
 
 
 def solve_with_history(coarse_xs, start_state, cons: ConstraintSet,
@@ -230,9 +232,12 @@ def solve_with_history(coarse_xs, start_state, cons: ConstraintSet,
     figure (figure_plot.h:455-485). Converged iterations repeat the frozen
     carry, mirroring how the reference stops appending.
 
-    Always uses the parallel line-search body (one outer iteration per scan
-    step), regardless of cfg.line_search.mode — the history is per-iteration
-    by construction.
+    Follows cfg.line_search.mode so the recorded history reflects the
+    production path: in 'serial' mode (the default backend's semantics)
+    each scan step runs the serial body's alpha trials to the iteration's
+    conclusion via an inner while_loop — the decision sequence is
+    identical to solve()'s, just chunked per outer iteration; in
+    'parallel' mode each scan step is one parallel-line-search iteration.
 
     Returns (SolveResult, CostBreakdown history [num_iters+1]); with
     record_trajs=True, returns (SolveResult, cost history, xs history
@@ -253,12 +258,23 @@ def solve_with_history(coarse_xs, start_state, cons: ConstraintSet,
                   it=jnp.int32(0),
                   aidx=jnp.int32(0))
 
-    body = _make_body(goals, cons, cfg, veh, dt)
+    serial = cfg.line_search.mode == "serial"
+    body = (_make_body_serial if serial else _make_body)(
+        goals, cons, cfg, veh, dt)
+
+    def one_iteration(c):
+        if not serial:
+            return body(c)
+        # run the serial body's alpha trials until this iteration
+        # concludes (accept / full reject / gnorm stop all advance c.it)
+        return jax.lax.while_loop(
+            lambda cc: (cc.status == SolverStatus.RUNNING)
+            & (cc.it == c.it), body, c)
 
     def scan_step(c, _):
         new = jax.lax.cond(
             (c.status == SolverStatus.RUNNING) & (c.it < cfg.max_iter_num),
-            body, lambda x: x, c)
+            one_iteration, lambda x: x, c)
         out = (new.cost, new.xs) if record_trajs else new.cost
         return new, out
 
@@ -272,7 +288,8 @@ def solve_with_history(coarse_xs, start_state, cons: ConstraintSet,
         lambda h0, h: jnp.concatenate([h0[None], h], axis=0), cost0, hist)
     res = SolveResult(xs=final.xs, us=final.us, status=status,
                       iters=final.it, cost=final.cost, lam=final.lam,
-                      init_xs=xs0, init_us=us0)
+                      init_xs=xs0, init_us=us0,
+                      lane_clipped=jnp.zeros((), bool))
     if record_trajs:
         return res, hist, xs_hist
     return res, hist

@@ -6,14 +6,17 @@ a dynamically feasible trajectory along a coarse plan. The reference wires
 this behind a source edit (InitGuess vs iqr, ilqr_optimizer.cc:168-169) and
 defaults to iqr; here it is ``tracker.plan`` for API parity.
 
-Design deviations from the reference (documented; this path is not used by
-the default pipeline):
-  * the reference re-solves the longitudinal DARE — an identical, constant
-    problem — every 0.01 s substep up to 150 iterations (tracker.cc:72-81);
-    we solve it once;
-  * the reference's substep bookkeeping assigns time t to the state after
-    integrating t+dt (tracker.cc:197-198), accumulating one extra substep
-    per knot; we sample knot k exactly after 10k substeps.
+Replicates the reference's quirky substep bookkeeping exactly (see
+``plan``): the loop at tracker.cc:185-203 labels the state integrated at
+loop time t with time t itself (:198), so the lon controller's
+EvaluateTime match point lags one substep, and knot k is pushed at the
+END of iteration j=10k — i.e. knot k is the state after 10k+1
+integrations. One deviation, bitwise-equivalent: the reference re-solves
+the longitudinal DARE — an identical, constant fixed-point iteration from
+the same P0=Q — every 0.01 s substep up to 150 iterations
+(tracker.cc:72-81); we solve it once (same iteration, same result).
+Parity: tests/test_tracker.py vs the numpy transcription oracle
+(tests/tracker_oracle.py).
 """
 
 from __future__ import annotations
@@ -60,11 +63,22 @@ def _lon_lqr_gain(cfg: TrackerConfig, dtype):
 def plan(start_state, coarse: Traj, cfg: TrackerConfig, veh: VehicleParam):
     """Tracker::Plan / lqr (tracker.cc:12-17,169-215). start_state: [6]
     (x, y, theta, v, a, delta). Returns (xs [N,6], us [N-1,2]) sampled on
-    the coarse trajectory's 0.1 s knots."""
+    the coarse trajectory's 0.1 s knots.
+
+    Exact reference bookkeeping (tracker.cc:184-203): the loop runs t from
+    start_time to end_time INCLUSIVE (801 iterations); the state produced
+    at loop time t is labeled time t (:198, one substep behind its true
+    time), so the lon match point lags one substep; knot k is pushed when
+    the label reaches 0.1k (end of iteration j=10k — the state after
+    10k+1 integrations) and its stored controls are the last write before
+    knot k+1's push, i.e. the controls computed at iteration j=10(k+1)
+    (:194-195). The push pattern is deterministic static strides: the fp
+    accumulation error of t (~1e-13 over 800 adds of 0.01) is far below
+    the kMathEpsilon=1e-10 comparison slack (vec2d.h:33)."""
     dtype = coarse.x.dtype
     n_knots = coarse.x.shape[0]
     sub = int(round(cfg.dt / cfg.simulation_dt))       # 10
-    n_steps = (n_knots - 1) * sub
+    n_steps = (n_knots - 1) * sub + 1                  # 801: t in [0, 8.0]
     sdt = cfg.simulation_dt
     K_lon = _lon_lqr_gain(cfg, dtype)
 
@@ -117,20 +131,23 @@ def plan(start_state, coarse: Traj, cfg: TrackerConfig, veh: VehicleParam):
         jerk = jnp.clip(jerk, veh.jerk_min, veh.jerk_max)
         return jerk, delta_rate
 
-    def step(carry, i):
-        x = carry
-        t = i.astype(dtype) * sdt
-        jerk, drate = control(x, t)
+    def step(carry, _):
+        # t_label = the reference's cur_state.time (set to the PREVIOUS
+        # loop t after integrating, tracker.cc:198); t_loop = the loop
+        # variable, accumulated t += sdt exactly as the C++ does.
+        x, t_label, t_loop = carry
+        jerk, drate = control(x, t_label)
         nxt = rk4(x, jerk, drate)
-        return nxt, (nxt, jerk, drate)
+        return (nxt, t_loop, t_loop + sdt), (nxt, jerk, drate)
 
     x0 = jnp.asarray(start_state, dtype)
-    _, (traj, jerks, drates) = jax.lax.scan(step, x0,
-                                            jnp.arange(n_steps))
-    # knot k = state after 10k substeps; controls[k] = last substep control
-    # before knot k+1
+    t0 = coarse.time[0]
+    _, (traj, jerks, drates) = jax.lax.scan(
+        step, (x0, t0, t0), None, length=n_steps)
+    # knot k (k>=1) = state at end of iteration j=10k; us[k] = controls
+    # computed at iteration j=10(k+1) (see docstring)
     knot_states = jnp.concatenate(
-        [x0[None], traj[sub - 1::sub]], axis=0)       # [N,6]
-    us = jnp.stack([jerks[sub - 1::sub], drates[sub - 1::sub]],
+        [x0[None], traj[sub::sub]], axis=0)            # [N,6]
+    us = jnp.stack([jerks[sub::sub], drates[sub::sub]],
                    axis=-1)                            # [N-1,2]
     return knot_states, us

@@ -142,7 +142,13 @@ class SolveResult:
 
     xs: [N, 6] states; us: [N-1, 2] controls; status: SolverStatus code;
     iters: outer iterations executed; cost: final CostBreakdown;
-    init_xs/init_us: the LQR initial guess (iter_trajs[0] analog).
+    init_xs/init_us: the LQR initial guess (iter_trajs[0] analog);
+    lane_clipped: bool — True when the batch-last solver's windowed
+    lane-segment search (IlqrConfig.lane_window) saw a nearest-segment
+    argmin land on a clipped window edge at any point of the solve, i.e.
+    the euclidean-nearest segment may lie outside the window and a wrong
+    lane plane may have been selected (solver_blast._nearest_lane_sel);
+    always False for full-scan backends/configs.
     """
 
     xs: jnp.ndarray
@@ -153,3 +159,4 @@ class SolveResult:
     lam: jnp.ndarray
     init_xs: jnp.ndarray
     init_us: jnp.ndarray
+    lane_clipped: jnp.ndarray | None = None
