@@ -75,7 +75,8 @@ def _pipeline_bench(latency: bool):
 
     cl = scenario.make_centerline()
     barriers = scenario.build_road_barriers(cl)
-    grid = world.build_barrier_grid(barriers[0], cfg.dp.grid_cell)
+    grid = world.build_barrier_grid(barriers[0], cfg.dp.grid_cell,
+                                    half=cfg.vehicle.radius)
     lane = pipeline.make_lane_tuple(barriers[1], barriers[2], cfg,
                                     np.float32)
     scns = scenario.make_scenario_batch(range(B), dtype=dtype)
@@ -195,6 +196,72 @@ def _pipeline_bench(latency: bool):
     }))
 
 
+def _mpc_bench():
+    """BENCH_MODE=mpc: batched receding-horizon MPC (BASELINE config 4) —
+    B vehicles replanning together, n_cycles warm-started corridor+solve
+    cycles per dispatch (mpc.mpc_scan_batch; DP runs once for the initial
+    plan, replan cycles shift the previous solution). Reports replan
+    cycles/s/chip against the 1000/s target, plus the warm-start
+    iteration saving vs the cold first solve on stderr."""
+    import sys
+
+    import jax
+    import jax.numpy as jnp
+
+    from cilqr_tpu import mpc, pipeline, scenario, world
+    from cilqr_tpu.config import PlannerConfig
+
+    cfg = PlannerConfig()
+    B = int(os.environ.get("BENCH_BATCH", "256"))
+    CYCLES = int(os.environ.get("BENCH_CYCLES", "8"))
+    REPS = int(os.environ.get("BENCH_REPS", "4"))
+    BACKEND = os.environ.get("BENCH_BACKEND", "blast")
+    dtype = jnp.float32
+
+    cl = scenario.make_centerline()
+    barriers = scenario.build_road_barriers(cl)
+    grid = world.build_barrier_grid(barriers[0], cfg.dp.grid_cell,
+                                    half=cfg.vehicle.radius)
+    lane = pipeline.make_lane_tuple(barriers[1], barriers[2], cfg,
+                                    np.float32)
+    scns = scenario.make_scenario_batch(range(B), dtype=dtype)
+    starts = jnp.tile(jnp.asarray([0.0, 0.0, 0.0, 10.0], dtype), (B, 1))
+
+    out0 = jax.jit(lambda s, st: pipeline.plan_batch(
+        s, st, cfg, grid, lane, backend=BACKEND))(scns, starts)
+    jax.block_until_ready(out0.solve.xs)
+    cold_iters = float(out0.solve.iters.mean())
+
+    @jax.jit
+    def roll(scns, xs, us):
+        carry = mpc.MpcCarry(xs=xs, us=us,
+                             cycle_time=jnp.zeros((xs.shape[0],), dtype))
+        final, (status, iters, cost, cor_ok) = mpc.mpc_scan_batch(
+            scns, carry, cfg, lane, CYCLES, backend=BACKEND)
+        return (final.xs.sum(), iters.sum(),
+                iters.astype(jnp.float32).mean(), cor_ok.all())
+
+    out = roll(scns, out0.solve.xs, out0.solve.us)
+    jax.block_until_ready(out)
+    warm_iters = float(out[2])
+    times = []
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        out = roll(scns, out0.solve.xs, out0.solve.us)
+        _ = float(out[0])
+        times.append(time.perf_counter() - t0)
+    rate = B * CYCLES / min(times)
+    print(f"warm-start iters/cycle: {warm_iters:.2f} vs cold "
+          f"{cold_iters:.2f}; corridors ok: {bool(out[3])}",
+          file=sys.stderr)
+    print(json.dumps({
+        "metric": "mpc_replan_cycles_per_s_per_chip",
+        "value": round(rate, 2),
+        "unit": "cycles/s",
+        "vs_baseline": round(rate / 1000.0, 3),
+    }))
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -205,6 +272,9 @@ def main():
     mode = os.environ.get("BENCH_MODE", "")
     if mode.startswith("pipeline"):
         _pipeline_bench(latency=mode == "pipeline_latency")
+        return
+    if mode == "mpc":
+        _mpc_bench()
         return
 
     # Default batch 1024: the 256-problem fixture tiled 4x with per-rep

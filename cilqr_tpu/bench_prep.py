@@ -35,7 +35,8 @@ def main(argv=None):
     start = (0.0, 0.0, 0.0, 10.0)
     cl = scenario.make_centerline()
     barriers = scenario.build_road_barriers(cl)
-    grid = build_barrier_grid(barriers[0], cfg.dp.grid_cell)
+    grid = build_barrier_grid(barriers[0], cfg.dp.grid_cell,
+                              half=cfg.vehicle.radius)
     lane = pipeline.make_lane_tuple(barriers[1], barriers[2], cfg)
 
     def prep_one(scn):

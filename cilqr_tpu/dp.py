@@ -23,9 +23,10 @@ import jax
 import jax.numpy as jnp
 
 from .config import DpConfig, PlannerConfig
-from .reference_line import compute_path_profile, evaluate_station, get_cartesian, get_projection
+from .reference_line import (compute_path_profile, evaluate_station_fields,
+                             get_projection)
 from .types import Scenario, Traj
-from .world import BarrierGrid, check_optimization_collision
+from .world import BarrierGrid, check_optimization_collision, dyn_polys_at
 
 K_EPS_LOCAL = 1e-3   # dp_planner.cpp:29 (file-local kMathEpsilon)
 
@@ -41,9 +42,9 @@ class DpResult(NamedTuple):
 def _lateral_offset(cl: Traj, s, l_ind, safe_margin, nl):
     """GetLateralOffset (dp_planner.h:84-92): l_ind == NL-1 -> centerline;
     else lb + (ub-lb) * linspace(0,1,NL-1)[l_ind]."""
-    ref = evaluate_station(cl, s)
-    lb = -ref.right_bound + safe_margin
-    ub = ref.left_bound - safe_margin
+    ref = evaluate_station_fields(cl, s, ("left_bound", "right_bound"))
+    lb = -ref["right_bound"] + safe_margin
+    ub = ref["left_bound"] - safe_margin
     frac = l_ind.astype(s.dtype) / (nl - 2)
     off = lb + (ub - lb) * frac
     return jnp.where(l_ind == nl - 1, jnp.zeros_like(off), off)
@@ -61,10 +62,26 @@ def _interp_sl(parent_s, parent_l, station, cur_l, nseg):
 
 
 def _segment_cost(cl: Traj, scn: Scenario, grid, cfg: PlannerConfig,
-                  s_pts, l_pts, last_s, last_l, t0, nseg, safe_margin):
+                  s_pts, l_pts, last_s, last_l, dyn_polys, nseg,
+                  safe_margin, ref=None):
     """Collision/bounds sweep over one interpolated (s,l) segment
     (GetCollisionCost, dp_planner.cpp:39-85). All arguments batched over
     leading dims; s_pts/l_pts have a trailing [nseg] axis.
+
+    ref: optional precomputed evaluate_station_fields(cl, s_pts) dict
+    whose entries broadcast against s_pts — the layer sweep passes fields
+    deduplicated over the NL child laterals (probe STATIONS depend only
+    on (parent, station index m, interp index i), so evaluating per child
+    lateral would redo every table lookup NL=10 times).
+
+    dyn_polys: (polys [nseg, KD, 4, 2], active [nseg, KD]) — the dynamic
+    obstacles pre-resolved at the layer's nseg probe times (they are
+    FIXED per layer; see plan()). This keeps the per-probe work pure
+    elementwise: one station searchsorted + 6 interpolated fields
+    (evaluate_station_fields serves both the Cartesian conversion and the
+    bounds/heading lookup — the reference calls GetCartesian and
+    EvaluateStation separately on the same station, dp_planner.cpp:61-77),
+    SAT against broadcast polygons, and the barrier-grid count.
 
     Returns the obstacle cost (0 or w_obstacle)."""
     dp = cfg.dp
@@ -75,20 +92,21 @@ def _segment_cost(cl: Traj, scn: Scenario, grid, cfg: PlannerConfig,
     dl = l_pts - prev_l
     ds = jnp.maximum(s_pts - prev_s, K_EPS_LOCAL)
 
-    cx, cy = get_cartesian(cl, s_pts, l_pts)
-    ref = evaluate_station(cl, s_pts)
-    lb = jnp.minimum(0.0, -ref.right_bound + safe_margin)
-    ub = jnp.maximum(0.0, ref.left_bound - safe_margin)
+    if ref is None:
+        ref = evaluate_station_fields(cl, s_pts)
+    cx = ref["x"] - l_pts * jnp.sin(ref["theta"])
+    cy = ref["y"] + l_pts * jnp.cos(ref["theta"])
+    lb = jnp.minimum(0.0, -ref["right_bound"] + safe_margin)
+    ub = jnp.maximum(0.0, ref["left_bound"] - safe_margin)
     off_road = (l_pts < lb - K_EPS_LOCAL) | (l_pts > ub + K_EPS_LOCAL)
 
-    heading = ref.theta + jnp.arctan((dl / ds) / (1.0 - ref.kappa * l_pts))
-    unit_time = cfg.tf / dp.nt
-    i = jnp.arange(nseg, dtype=s_pts.dtype)
-    t = t0[..., None] + i * (unit_time / nseg)
+    heading = ref["theta"] + jnp.arctan(
+        (dl / ds) / (1.0 - ref["kappa"] * l_pts))
 
     collide = check_optimization_collision(
-        scn, t, cx, cy, heading, veh.radius, veh.r2x, veh.f2x,
-        collision_buffer=0.0, grid=grid, mode=dp.collision_mode)
+        scn, None, cx, cy, heading, veh.radius, veh.r2x, veh.f2x,
+        collision_buffer=0.0, grid=grid, mode=dp.collision_mode,
+        dyn_polys=dyn_polys)
 
     any_bad = (off_road | collide).any(axis=-1)
     return jnp.where(any_bad, dp.w_obstacle, 0.0)
@@ -112,10 +130,16 @@ def plan(scn: Scenario, start_x, start_y, start_theta,
     l_inds = jnp.arange(NL)
 
     def offsets(svals):
-        """[...,] stations -> [..., NL] lateral offsets."""
-        return jax.vmap(
-            lambda li: _lateral_offset(cl, svals, jnp.full(svals.shape, li), safe_margin, NL),
-            out_axes=-1)(l_inds)
+        """[...,] stations -> [..., NL] lateral offsets. One table lookup
+        per station for ALL NL laterals (same ops as _lateral_offset
+        broadcast over the lateral index)."""
+        ref = evaluate_station_fields(cl, svals,
+                                      ("left_bound", "right_bound"))
+        lb = -ref["right_bound"] + safe_margin
+        ub = ref["left_bound"] - safe_margin
+        frac = l_inds.astype(svals.dtype) / (NL - 2)
+        off = lb[..., None] + (ub - lb)[..., None] * frac
+        return jnp.where(l_inds == NL - 1, jnp.zeros_like(off), off)
 
     # ---- first layer (dp_planner.cpp:153-159): parent = start pseudo-cell
     nseg0 = 17  # dp_planner.cpp:288-292 with t_ind 0
@@ -125,8 +149,17 @@ def plan(scn: Scenario, start_x, start_y, start_theta,
     pl = jnp.broadcast_to(l0, (NS, NL))
     s_pts, l_pts = _interp_sl(ps, pl, jnp.broadcast_to(station[:, None], (NS, NL)),
                               cur_l_l0, nseg0)    # [NS, NL, 17]
+    # probe times are FIXED per layer (t0 + i*unit/nseg with a constant
+    # t0), so the dynamic obstacles resolve once per layer instead of per
+    # probe (world.dyn_polys_at) — same arithmetic, same lookups
+    tv0 = jnp.arange(nseg0, dtype=dtype) * (unit_time / nseg0)
+    s_dd0, _ = _interp_sl(ps[:, :1], pl[:, :1],
+                          jnp.broadcast_to(station[:, None], (NS, 1)),
+                          cur_l_l0[:, :1], nseg0)
+    ref0 = evaluate_station_fields(cl, s_dd0)     # [NS, 1, 17]
     obst0 = _segment_cost(cl, scn, grid, cfg, s_pts, l_pts,
-                          ps, pl, jnp.zeros((NS, NL), dtype), nseg0, safe_margin)
+                          ps, pl, dyn_polys_at(scn, tv0), nseg0,
+                          safe_margin, ref=ref0)
 
     cur_l = cur_l_l0                               # [NS, NL]
     ds1 = jnp.broadcast_to(station[:, None], (NS, NL))
@@ -185,11 +218,13 @@ def plan(scn: Scenario, start_x, start_y, start_theta,
         P = NS * NL
         Cn = NS * NL
         c_station = jnp.repeat(station, NL)               # [C] station of child m
-        c_lind = jnp.tile(jnp.arange(NL), NS)             # [C] lateral index n
         cur_s_c = p_s[:, None] + c_station[None, :]       # [P, C]
-        off_all = offsets(cur_s_c.reshape(-1))            # [P*C, NL]
-        cur_l_c = off_all[jnp.arange(P * Cn),
-                          jnp.tile(c_lind, P)].reshape(P, Cn)
+        # child laterals deduplicated over n: child stations take only NS
+        # distinct values per parent, and offsets() yields all NL laterals
+        # per station — [P, NS, NL] reshaped m-major IS cur_l per child
+        # (identical values to evaluating per child, 10x fewer lookups)
+        cur_s_m = p_s[:, None] + station[None, :]         # [P, NS]
+        cur_l_c = offsets(cur_s_m.reshape(-1)).reshape(P, Cn)
 
         # Collision sweep over [P, C, nseg] probes. Materializing all of it
         # at once costs GBs of padded HBM temps under a scenario batch
@@ -197,7 +232,8 @@ def plan(scn: Scenario, start_x, start_y, start_theta,
         # parents in chunks via lax.map (dp.parent_chunk controls the
         # memory/parallelism trade-off).
         st_pc = jnp.broadcast_to(c_station[None, :], (P, Cn))
-        t0v = jnp.full((Cn,), times[t], dtype)
+        tv = times[t] + jnp.arange(nseg, dtype=dtype) * (unit_time / nseg)
+        dyn_l = dyn_polys_at(scn, tv)   # fixed per layer (see _segment_cost)
         chunk = max(1, min(dp.parent_chunk, P))
         n_chunks = -(-P // chunk)
         pad = n_chunks * chunk - P
@@ -206,18 +242,28 @@ def plan(scn: Scenario, start_x, start_y, start_theta,
             return jnp.concatenate([a, a[-1:].repeat(pad, 0)]) if pad else a
 
         def chunk_cost(args):
+            # [chunk, NS, NL, nseg] layout: the station-dependent table
+            # fields are evaluated once per (parent, m, i) and broadcast
+            # over the NL child laterals (identical values, 10x fewer
+            # lookups — see _segment_cost's ref parameter)
             cp_s, cp_l, clast_s, clast_l, ccur_l = args  # [chunk], [chunk,C]
             csp, clp = _interp_sl(
-                jnp.broadcast_to(cp_s[:, None], (chunk, Cn)),
-                jnp.broadcast_to(cp_l[:, None], (chunk, Cn)),
-                jnp.broadcast_to(c_station[None, :], (chunk, Cn)),
-                ccur_l, nseg)
-            return _segment_cost(
+                jnp.broadcast_to(cp_s[:, None, None], (chunk, NS, NL)),
+                jnp.broadcast_to(cp_l[:, None, None], (chunk, NS, NL)),
+                jnp.broadcast_to(station[None, :, None], (chunk, NS, NL)),
+                ccur_l.reshape(chunk, NS, NL), nseg)
+            s_dd, _ = _interp_sl(
+                jnp.broadcast_to(cp_s[:, None, None], (chunk, NS, 1)),
+                jnp.broadcast_to(cp_l[:, None, None], (chunk, NS, 1)),
+                jnp.broadcast_to(station[None, :, None], (chunk, NS, 1)),
+                ccur_l.reshape(chunk, NS, NL)[:, :, :1], nseg)
+            ref_dd = evaluate_station_fields(cl, s_dd)
+            obst = _segment_cost(
                 cl, scn, grid, cfg, csp, clp,
-                jnp.broadcast_to(clast_s[:, None], (chunk, Cn)),
-                jnp.broadcast_to(clast_l[:, None], (chunk, Cn)),
-                jnp.broadcast_to(t0v[None, :], (chunk, Cn)), nseg,
-                safe_margin)
+                jnp.broadcast_to(clast_s[:, None, None], (chunk, NS, NL)),
+                jnp.broadcast_to(clast_l[:, None, None], (chunk, NS, NL)),
+                dyn_l, nseg, safe_margin, ref=ref_dd)
+            return obst.reshape(chunk, Cn)
 
         chunked = jax.lax.map(
             chunk_cost,
@@ -293,9 +339,11 @@ def plan(scn: Scenario, start_x, start_y, start_theta,
     prev_l = jnp.concatenate([jnp.asarray([l0.astype(dtype)]).reshape(1), seg_l[:-1]])
     dl = seg_l - prev_l
     ds = jnp.maximum(seg_s - prev_s, K_EPS_LOCAL)
-    cx, cy = get_cartesian(cl, seg_s, seg_l)
-    ref = evaluate_station(cl, seg_s)
-    theta = ref.theta + jnp.arctan((dl / ds) / (1.0 - ref.kappa * seg_l))
+    ref = evaluate_station_fields(cl, seg_s)
+    cx = ref["x"] - seg_l * jnp.sin(ref["theta"])
+    cy = ref["y"] + seg_l * jnp.cos(ref["theta"])
+    theta = ref["theta"] + jnp.arctan(
+        (dl / ds) / (1.0 - ref["kappa"] * seg_l))
 
     # ---- profile (dp_planner.cpp:246-276)
     _, _, speeds, accels, kappas = compute_path_profile(cfg.delta_t, cx, cy)
@@ -303,7 +351,8 @@ def plan(scn: Scenario, start_x, start_y, start_theta,
     t = cfg.delta_t * jnp.arange(n, dtype=dtype)
     traj = Traj(
         time=t, s=seg_s, x=cx, y=cy, theta=theta, kappa=kappas,
-        velocity=speeds, left_bound=ref.left_bound, right_bound=ref.right_bound,
+        velocity=speeds, left_bound=ref["left_bound"],
+        right_bound=ref["right_bound"],
         a=accels, jerk=jnp.zeros_like(t),
         delta=jnp.arctan(kappas * cfg.vehicle.wheel_base),
         delta_rate=jnp.zeros_like(t))

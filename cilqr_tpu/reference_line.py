@@ -61,6 +61,55 @@ def evaluate_time(traj: Traj, time):
     return _interp_fields(traj, idx - 1, idx, traj.time, time)
 
 
+DP_FIELDS = ("x", "y", "theta", "kappa", "left_bound", "right_bound")
+
+
+def uniform_station_index(s_table, station):
+    """Lower-bound index into a UNIFORMLY-spaced station table by
+    arithmetic instead of searchsorted (an ~80 ms/chunk binary-search
+    chain on TPU at DP probe counts).
+
+    The scenario centerline accumulates s += resolution per point
+    (scenario.generate_center_line, replicating reference_publisher.py:
+    58,68), so s[i] = i*h up to ~n*ulp accumulation noise. The arithmetic
+    index can differ from searchsorted only when ``station`` lies within
+    that noise of a knot — and a lower-bound flip at an exact knot is
+    value-continuous (weight 1 on [i-1,i] and weight 0 on [i,i+1] select
+    the same table row), so interpolants match to fp noise. The DP golden
+    oracle (tests/test_dp.py, 1e-9 gates) pins this equivalence."""
+    n = s_table.shape[-1]
+    h = (s_table[-1] - s_table[0]) / (n - 1)
+    idx = jnp.ceil((station - s_table[0]) / h).astype(jnp.int32)
+    return jnp.clip(idx, 1, n - 1)
+
+
+def evaluate_station_fields(traj: Traj, station, fields=DP_FIELDS):
+    """Lean EvaluateStation: interpolate only the requested fields.
+
+    Matches evaluate_station per field (same lerp/slerp) with two TPU
+    cost cuts for the DP probe sweep (dp.py): only the needed table
+    gathers (the full Traj interpolation costs 13 x 2 per query), and the
+    uniform-grid arithmetic index instead of searchsorted (see
+    uniform_station_index for the equivalence argument)."""
+    idx = uniform_station_index(traj.s, station)
+    i0 = idx - 1
+    i1 = idx
+    k0 = traj.s[i0]
+    k1 = traj.s[i1]
+    denom = k1 - k0
+    near = jnp.abs(denom) < 1e-10
+    w = jnp.where(near, 0.0, (station - k0) / jnp.where(near, 1.0, denom))
+    out = {}
+    for f in fields:
+        v = getattr(traj, f)
+        if f == "theta":
+            out[f] = slerp(v[i0], k0, v[i1], k1,
+                           jnp.where(near, k0, station))
+        else:
+            out[f] = (1 - w) * v[i0] + w * v[i1]
+    return out
+
+
 def get_projection(traj: Traj, px, py):
     """GetProjection (discretized_trajectory.cpp:159-190): nearest knot,
     then chord projection over [i-1, i+1]. Returns (s, l, project_point)."""

@@ -31,17 +31,33 @@ K_MATH_EPS = 1e-10
 
 class BarrierGrid(NamedTuple):
     """Integral image of barrier-point counts. integral[i, j] = number of
-    points with cell_y < i and cell_x < j."""
+    points with cell_y < i and cell_x < j.
+
+    dilated/half/span: optional precomputed box-occupancy tables for a
+    FIXED query half-size (build_barrier_grid(half=...)): dilated[a, b,
+    i+OFF, j+OFF] = any barrier point with cell_y in [i, i+span+a] and
+    cell_x in [j, j+span+b] (clamped to the grid). A box [c-half, c+half]
+    covers exactly the cells [floor(u), floor(v)] with u=(c-half-lo)/cell,
+    v=u+2*half/cell, whose length is span+1 or span+2 (span =
+    floor(2*half/cell)) depending on frac(u) — so membership is ONE
+    int8 gather (vs 4 integral gathers), bit-exact to the integral path.
+    OFF = span+2 shifts negative anchors into range."""
 
     integral: jnp.ndarray  # [H+1, W+1] int32
     origin: jnp.ndarray    # [2]
     cell: float
+    dilated: jnp.ndarray | None = None   # [2, 2, H+2*OFF, W+2*OFF] int8
+    half: float | None = None
+    span: int | None = None
 
 
 def build_barrier_grid(barrier_xy: np.ndarray, cell: float = 0.1,
-                       pad: float = 2.0) -> BarrierGrid:
+                       pad: float = 2.0, half: float | None = None
+                       ) -> BarrierGrid:
     """Host-side grid build (once per road; the road is shared across a
-    scenario batch)."""
+    scenario batch). With ``half``, also builds the dilated occupancy
+    tables for one-gather box queries of that half-size (the DP probe's
+    veh.radius)."""
     pts = np.asarray(barrier_xy)
     lo = pts.min(axis=0) - pad
     hi = pts.max(axis=0) + pad
@@ -52,8 +68,31 @@ def build_barrier_grid(barrier_xy: np.ndarray, cell: float = 0.1,
     np.add.at(grid, (ij[:, 1], ij[:, 0]), 1)
     integral = np.zeros((H + 1, W + 1), np.int32)
     integral[1:, 1:] = grid.cumsum(0).cumsum(1)
+
+    dilated = None
+    span = None
+    if half is not None:
+        span = int(np.floor(2.0 * half / cell))
+        off = span + 2
+        Hp = H + 2 * off
+        Wp = W + 2 * off
+        dilated = np.zeros((2, 2, Hp, Wp), np.int8)
+        anchors_i = np.arange(-off, H + off)
+        anchors_j = np.arange(-off, W + off)
+        for a in (0, 1):
+            i0 = np.clip(anchors_i, 0, H)
+            i1 = np.clip(anchors_i + span + a + 1, 0, H)
+            for b in (0, 1):
+                j0 = np.clip(anchors_j, 0, W)
+                j1 = np.clip(anchors_j + span + b + 1, 0, W)
+                cnt = (integral[i1][:, j1] - integral[i0][:, j1]
+                       - integral[i1][:, j0] + integral[i0][:, j0])
+                dilated[a, b] = (cnt > 0).astype(np.int8)
     return BarrierGrid(integral=jnp.asarray(integral),
-                       origin=jnp.asarray(lo), cell=cell)
+                       origin=jnp.asarray(lo), cell=cell,
+                       dilated=None if dilated is None
+                       else jnp.asarray(dilated),
+                       half=half, span=span)
 
 
 def barrier_points_in_box_grid(grid: BarrierGrid, minx, miny, maxx, maxy):
@@ -67,6 +106,32 @@ def barrier_points_in_box_grid(grid: BarrierGrid, minx, miny, maxx, maxy):
     j1 = jnp.clip(jnp.floor((maxx - grid.origin[0]) / grid.cell).astype(jnp.int32) + 1, 0, W)
     I = grid.integral
     return (I[i1, j1] - I[i0, j1] - I[i1, j0] + I[i0, j0])
+
+
+def barrier_box_hit_dilated(grid: BarrierGrid, minx, miny, maxx, maxy):
+    """ONE int8 gather per box instead of 4 integral-image gathers —
+    bit-exact to (barrier_points_in_box_grid(...) > 0) for boxes of the
+    grid's fixed half-size (see BarrierGrid.dilated). Anchors clipped
+    into the padded index range read host-precomputed EMPTY windows, so
+    out-of-grid boxes report no hit exactly like the clamped integral
+    path."""
+    H = grid.integral.shape[0] - 1
+    W = grid.integral.shape[1] - 1
+    span = grid.span
+    off = span + 2
+    Hp = H + 2 * off
+    Wp = W + 2 * off
+    c = grid.cell
+    iy = jnp.floor((miny - grid.origin[1]) / c).astype(jnp.int32)
+    jx = jnp.floor((minx - grid.origin[0]) / c).astype(jnp.int32)
+    a = jnp.clip(jnp.floor((maxy - grid.origin[1]) / c).astype(jnp.int32)
+                 - iy - span, 0, 1)
+    b = jnp.clip(jnp.floor((maxx - grid.origin[0]) / c).astype(jnp.int32)
+                 - jx - span, 0, 1)
+    iyc = jnp.clip(iy + off, 0, Hp - 1)
+    jxc = jnp.clip(jx + off, 0, Wp - 1)
+    flat = ((a * 2 + b) * Hp + iyc) * Wp + jxc
+    return grid.dilated.reshape(-1)[flat] > 0
 
 
 def barrier_points_in_box_exact(barrier_xy, barrier_mask, minx, miny, maxx, maxy):
@@ -120,15 +185,44 @@ def dynamic_obstacle_overlap(scn: Scenario, time, minx, miny, maxx, maxy):
     return hits.any(axis=-1)
 
 
+def dyn_polys_at(scn: Scenario, times):
+    """Polygon + active flag of every dynamic obstacle at each query time
+    (vectorized _dyn_polygon_at, eps=0). times: [T'] ->
+    (polys [T', KD, 4, 2], active [T', KD]).
+
+    The DP probe sweep queries only a handful of FIXED times per layer
+    (dp_planner.cpp:283-320's interpolation grid), so the per-probe
+    searchsorted + track-table gather inside dynamic_obstacle_overlap —
+    measured as ~95% of the DP collision cost on TPU (per-element gathers
+    are poison there) — hoists to this one tiny [T', KD] precompute."""
+    KD = scn.dyn_obs.shape[0]
+
+    def at_t(t):
+        def one(k):
+            return _dyn_polygon_at(scn, k, t, eps=0.0)
+
+        return jax.vmap(one)(jnp.arange(KD))
+
+    return jax.vmap(at_t)(jnp.asarray(times))
+
+
 def check_optimization_collision(scn: Scenario, time, x, y, theta,
                                  veh_radius, r2x, f2x,
                                  collision_buffer=0.0,
                                  grid: BarrierGrid | None = None,
-                                 mode: str = "grid"):
+                                 mode: str = "grid",
+                                 dyn_polys=None):
     """Two-disc collision probe (Environment::CheckOptimizationCollision,
     environment.cpp:92-112): axis-aligned boxes of half-size radius+buffer
     at the front/rear disc centers, tested against static polygons, road
-    barrier points, and dynamic obstacles."""
+    barrier points, and dynamic obstacles.
+
+    dyn_polys: optional (polys [T', KD, 4, 2], active [T', KD]) from
+    dyn_polys_at — the dynamic obstacles pre-resolved at the probe times.
+    REQUIRES the queries' TRAILING axis to be the time axis of length T'
+    (each probe [..., i] was taken at times[i]); the ``time`` argument is
+    then ignored. Identical results to the per-probe path (same
+    _dyn_polygon_at lookups, same SAT) without per-probe gathers."""
     half = veh_radius + collision_buffer
     ct = jnp.cos(theta)
     st = jnp.sin(theta)
@@ -143,12 +237,27 @@ def check_optimization_collision(scn: Scenario, time, x, y, theta,
         hit = static_obstacle_overlap(scn, minx, miny, maxx, maxy)
         if mode == "grid":
             assert grid is not None
-            cnt = barrier_points_in_box_grid(grid, minx, miny, maxx, maxy)
+            if grid.dilated is not None and grid.half == half:
+                hit = hit | barrier_box_hit_dilated(grid, minx, miny,
+                                                    maxx, maxy)
+            else:
+                cnt = barrier_points_in_box_grid(grid, minx, miny,
+                                                 maxx, maxy)
+                hit = hit | (cnt > 0)
         else:
             cnt = barrier_points_in_box_exact(scn.barrier_xy, scn.barrier_mask,
                                               minx, miny, maxx, maxy)
-        hit = hit | (cnt > 0)
-        hit = hit | dynamic_obstacle_overlap(scn, time, minx, miny, maxx, maxy)
+            hit = hit | (cnt > 0)
+        if dyn_polys is None:
+            hit = hit | dynamic_obstacle_overlap(scn, time, minx, miny,
+                                                 maxx, maxy)
+        else:
+            polys, active = dyn_polys
+            h = convex_overlap_aabb(
+                polys, jnp.ones(polys.shape[:-1], bool),
+                minx[..., None], miny[..., None],
+                maxx[..., None], maxy[..., None])   # [..., T', KD]
+            hit = hit | (h & active).any(axis=-1)
         return hit
 
     return box_hit(xf, yf) | box_hit(xr, yr)

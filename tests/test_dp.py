@@ -37,7 +37,8 @@ def ped_scn():
 
 
 def _grid(scn):
-    return W.build_barrier_grid(np.asarray(scn.barrier_xy), CFG.dp.grid_cell)
+    return W.build_barrier_grid(np.asarray(scn.barrier_xy), CFG.dp.grid_cell,
+                                half=CFG.vehicle.radius)
 
 
 def test_dp_empty_road(empty_scn):
