@@ -767,4 +767,6 @@ def solve_batch_mega(goals_bf, starts, cons, cfg, veh, dt,
     return SolveResult(
         xs=unb(xs), us=unb(us), status=istate[0, :B0], iters=istate[1, :B0],
         cost=cost, lam=fs[5, :B0],
-        init_xs=xs0_bf[:B0], init_us=us0_bf[:B0])
+        init_xs=xs0_bf[:B0], init_us=us0_bf[:B0],
+        # the kernel's cost stack runs the FULL lane-segment scan
+        lane_clipped=jnp.zeros((B0,), bool))

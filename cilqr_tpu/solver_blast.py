@@ -158,8 +158,12 @@ class ConsBL(NamedTuple):
     cb: jnp.ndarray
     cc: jnp.ndarray
     cm: jnp.ndarray     # corridor mask [N, KC, B] (bool)
-    lanes: tuple        # per side: (a, b, c, x1, y1, x2, y2, m), each
-                        # [S, B] (shared) or [N, W, B] (per-knot window)
+    lanes: tuple        # per side: (a, b, c, x1, y1, x2, y2, m, lo, hi) —
+                        # plane/segment components each [S, B] (shared
+                        # full scan; lo=hi=None) or [N, W, B] (per-knot
+                        # window; lo/hi [N, B] flag that the window was
+                        # clipped at the low/high index end, i.e. segments
+                        # exist beyond that edge)
 
 
 def cons_to_bl(cons: ConstraintSet, goals_bl=None, lane_window: int = 0
@@ -199,7 +203,7 @@ def cons_to_bl(cons: ConstraintSet, goals_bl=None, lane_window: int = 0
         S = a.shape[0]
         W = lane_window
         if goals_bl is None or not (0 < W < S):
-            return (a, b, c, x1, y1, x2, y2, m)
+            return (a, b, c, x1, y1, x2, y2, m, None, None)
         gx = goals_bl[0][:, None, :]                       # [N, 1, B]
         gy = goals_bl[1][:, None, :]
         d = point_segment_distance(gx, gy, x1[None], y1[None],
@@ -228,7 +232,18 @@ def cons_to_bl(cons: ConstraintSet, goals_bl=None, lane_window: int = 0
                 out = jnp.where(sel, v[k:k + W][None], out)
             return out                                     # [N, W, B]
 
-        return tuple(win(v) for v in (a, b, c, x1, y1, x2, y2, m))
+        # which window edges clip off real segments (for the runtime
+        # argmin-on-edge safety flag in _nearest_lane_sel): an argmin on
+        # slot 0 / W-1 only signals a possibly-out-of-window nearest
+        # segment when segments exist beyond that edge. The selected
+        # start is ks[best]; valid (unmasked) segments span [0, n_valid).
+        ksa = jnp.asarray(ks)
+        start = ksa[best]                                  # [N, B]
+        n_valid = m.sum(axis=0)                            # [B]
+        lo = start > 0
+        hi = start + W < n_valid[None, :]
+        return tuple(win(v) for v in (a, b, c, x1, y1, x2, y2, m)
+                     ) + (lo, hi)
 
     return ConsBL(
         ca=jnp.moveaxis(cons.corridor_planes[..., 0], 0, -1),
@@ -249,9 +264,13 @@ def _disc_offsets(cfg: IlqrConfig, veh: VehicleParam, dtype):
 def _nearest_lane_sel(cx, cy, lane):
     """Masked-argmin nearest segment + one-hot plane selection (replaces
     the gather in costs._nearest_lane_plane). cx, cy [N, B];
-    returns (a, b, c) each [N, B]. Lane arrays are [S, B] (shared across
-    knots) or [N, W, B] (per-knot windows)."""
-    a, b, c, x1, y1, x2, y2, m = lane
+    returns (a, b, c, edge) each [N, B]. Lane arrays are [S, B] (shared
+    across knots; edge=None) or [N, W, B] (per-knot windows; edge flags an
+    argmin landing on a CLIPPED window edge — point-segment distance is
+    continuous in index space along the boundary polyline, so a nearer
+    out-of-window segment pulls the in-window argmin to that edge; the
+    selection may then be wrong and the caller must surface it)."""
+    a, b, c, x1, y1, x2, y2, m, lo, hi = lane
     if a.ndim == 2:   # shared: broadcast to [N, S, B]
         a, b, c, x1, y1, x2, y2, m = (
             v[None] for v in (a, b, c, x1, y1, x2, y2, m))
@@ -265,14 +284,17 @@ def _nearest_lane_sel(cx, cy, lane):
     onehot = (jax.lax.broadcasted_iota(jnp.int32, (1, S, 1), 1)
               == idx[:, None, :])
     sel = lambda p: jnp.sum(jnp.where(onehot, p, 0.0), axis=1)
-    return sel(a), sel(b), sel(c)
+    edge = None
+    if lo is not None:
+        edge = ((idx == 0) & lo) | ((idx == S - 1) & hi)
+    return sel(a), sel(b), sel(c), edge
 
 
 def _cost_stack_bl(xs, us, goals, cbl: ConsBL, cfg, veh, want_derivs):
-    """Cost components [B] plus PER-KNOT totals pk [N, B] (+ optionally
-    Jx [N,6,B], Ju [T,2,B], Hx [N,6,6,B], Hu [T,2,2,B]) — TotalCost /
-    CostJacbian / CostHessian (ilqr_optimizer.cc:417-769) in batch-last
-    form, no gathers/scatters.
+    """Cost components [B] plus PER-KNOT totals pk [N, B] and the lane
+    window-clip flag clip [B] (+ optionally Jx [N,6,B], Ju [T,2,B],
+    Hx [N,6,6,B], Hu [T,2,2,B]) — TotalCost / CostJacbian / CostHessian
+    (ilqr_optimizer.cc:417-769) in batch-last form, no gathers/scatters.
 
     pk exists so the outer loop can compute dcost = sum_k(pk_old - pk_new)
     instead of the reference's total_old - total_new: subtracting two ~1e3
@@ -315,6 +337,7 @@ def _cost_stack_bl(xs, us, goals, cbl: ConsBL, cfg, veh, want_derivs):
 
     corrk = jnp.zeros((N, B), dtype)
     lanek = jnp.zeros((N, B), dtype)
+    clip = jnp.zeros((B,), bool)   # lane window argmin-on-clipped-edge
 
     if want_derivs:
         jx = [jnp.zeros((N, B), dtype) for _ in range(6)]
@@ -376,7 +399,9 @@ def _cost_stack_bl(xs, us, goals, cbl: ConsBL, cfg, veh, want_derivs):
 
         # lane barriers (nearest-segment one-hot)
         for lane in cbl.lanes:
-            la, lb, lcc = _nearest_lane_sel(cxd, cyd, lane)
+            la, lb, lcc, ledge = _nearest_lane_sel(cxd, cyd, lane)
+            if ledge is not None:
+                clip = clip | ledge.any(axis=0)
             lg = la * cxd + lb * cyd - lcc
             lanek = lanek + bar.value(lg)
             if want_derivs:
@@ -401,7 +426,7 @@ def _cost_stack_bl(xs, us, goals, cbl: ConsBL, cfg, veh, want_derivs):
     pk = jk_x + dynk_x + corrk + lanek
     pk = pk.at[:T].add(jk_u + dynk_u)
     if not want_derivs:
-        return cost, pk
+        return cost, pk, clip
 
     zeros_nb = jnp.zeros((N, B), dtype)
     Jx = jnp.stack(jx, axis=1)                          # [N, 6, B]
@@ -415,7 +440,7 @@ def _cost_stack_bl(xs, us, goals, cbl: ConsBL, cfg, veh, want_derivs):
         jnp.stack([hu.get((min(i, j), max(i, j)), zeros_tb)
                    for j in range(2)], axis=1)
         for i in range(2)], axis=1)                     # [T, 2, 2, B]
-    return cost, pk, Jx, Ju, Hx, Hu
+    return cost, pk, clip, Jx, Ju, Hx, Hu
 
 
 # ---------------------------------------------------------------------------
@@ -498,6 +523,7 @@ class _CarryBL(NamedTuple):
     status: jnp.ndarray    # [B] int32
     it: jnp.ndarray        # [B] int32
     aidx: jnp.ndarray      # [B] int32
+    clip: jnp.ndarray      # [B] bool: lane-window edge clip seen (monotone)
 
 
 def _make_body(goals, cbl, cfg: IlqrConfig, veh: VehicleParam, dt, dtype, T_):
@@ -524,7 +550,7 @@ def _make_body(goals, cbl, cfg: IlqrConfig, veh: VehicleParam, dt, dtype, T_):
     def body(c: _CarryBL) -> _CarryBL:
         A, Bm = _jacobians_bl(c.xs[:, :-1], c.us, dt, veh.wheel_base)
         cost_d = _cost_stack_bl(c.xs, c.us, goals, cbl, cfg, veh, True)
-        _, _, Jx, Ju, Hx, Hu = cost_d
+        _, _, clip1, Jx, Ju, Hx, Hu = cost_d
         a = alphas[c.aidx]                                # [B]
         if use_pallas:
             from .pallas.sweep import riccati_sweep
@@ -545,7 +571,8 @@ def _make_body(goals, cbl, cfg: IlqrConfig, veh: VehicleParam, dt, dtype, T_):
             gnorm_done = (gnorm < reg.gradient_norm_min) & (c.lam < 1e-5)
             nxs, nus = _forward_bl(a, c.xs, c.us, Ks, ks, goals, dt,
                                    veh.wheel_base, unroll=unroll)
-        ncost, npc = _cost_stack_bl(nxs, nus, goals, cbl, cfg, veh, False)
+        ncost, npc, clip2 = _cost_stack_bl(nxs, nus, goals, cbl, cfg, veh,
+                                           False)
         # dcost as a sum of per-knot differences, NOT total_old - total_new:
         # in f32 the reference's form cancels two ~1e3 sums at the decision
         # thresholds' noise floor (see _cost_stack_bl docstring); f64 agrees
@@ -589,6 +616,7 @@ def _make_body(goals, cbl, cfg: IlqrConfig, veh: VehicleParam, dt, dtype, T_):
                          jnp.int32(SolverStatus.RUNNING)).astype(jnp.int32),
             it=c.it + concluded.astype(jnp.int32),
             aidx=jnp.where(concluded, 0, c.aidx + 1).astype(jnp.int32),
+            clip=c.clip | clip1 | clip2,
         )
 
         def keep_gnorm(n, o):
@@ -606,6 +634,7 @@ def _make_body(goals, cbl, cfg: IlqrConfig, veh: VehicleParam, dt, dtype, T_):
                              new.status),
             it=jnp.where(gnorm_done, c.it + 1, new.it),
             aidx=jnp.where(gnorm_done, 0, new.aidx).astype(jnp.int32),
+            clip=new.clip,   # monotone flag: never reverted
         )
 
         # freeze non-RUNNING lanes
@@ -659,14 +688,16 @@ def _prep(goals_bf, starts, cons, cfg, veh, dt, warm_start):
     xs0 = _bl(xs0_bf)
     us0 = _bl(us0_bf)
     cbl = cons_to_bl(cons, goals_bl=goals, lane_window=cfg.lane_window)
-    cost0, pc0 = _cost_stack_bl(xs0, us0, goals, cbl, cfg, veh, False)
+    cost0, pc0, clip0 = _cost_stack_bl(xs0, us0, goals, cbl, cfg, veh,
+                                       False)
     init = _CarryBL(
         xs=xs0, us=us0, cost=cost0, pc=pc0,
         lam=jnp.full((B,), cfg.reg.lambda_init, dtype),
         dlam=jnp.ones((B,), dtype),
         status=jnp.full((B,), SolverStatus.RUNNING, jnp.int32),
         it=jnp.zeros((B,), jnp.int32),
-        aidx=jnp.zeros((B,), jnp.int32))
+        aidx=jnp.zeros((B,), jnp.int32),
+        clip=clip0)
     return goals_first, goals, cbl, init, xs0_bf, us0_bf
 
 
@@ -675,7 +706,8 @@ def _finalize(final: _CarryBL, xs0_bf, us0_bf) -> SolveResult:
                        jnp.int32(SolverStatus.MAX_ITER), final.status)
     return SolveResult(xs=_bf(final.xs), us=_bf(final.us), status=status,
                        iters=final.it, cost=final.cost, lam=final.lam,
-                       init_xs=xs0_bf, init_us=us0_bf)
+                       init_xs=xs0_bf, init_us=us0_bf,
+                       lane_clipped=final.clip)
 
 
 def solve_batch_bl(goals_bf, starts, cons: ConstraintSet,
@@ -708,18 +740,21 @@ class _StateBF(NamedTuple):
     status: jnp.ndarray
     it: jnp.ndarray
     aidx: jnp.ndarray
+    clip: jnp.ndarray
 
 
 def _carry_to_bf(c: _CarryBL) -> _StateBF:
     return _StateBF(xs=_bf(c.xs), us=_bf(c.us), cost=c.cost,
                     pc=jnp.moveaxis(c.pc, 0, 1), lam=c.lam,
-                    dlam=c.dlam, status=c.status, it=c.it, aidx=c.aidx)
+                    dlam=c.dlam, status=c.status, it=c.it, aidx=c.aidx,
+                    clip=c.clip)
 
 
 def _carry_from_bf(s: _StateBF) -> _CarryBL:
     return _CarryBL(xs=_bl(s.xs), us=_bl(s.us), cost=s.cost,
                     pc=jnp.moveaxis(s.pc, 0, 1), lam=s.lam,
-                    dlam=s.dlam, status=s.status, it=s.it, aidx=s.aidx)
+                    dlam=s.dlam, status=s.status, it=s.it, aidx=s.aidx,
+                    clip=s.clip)
 
 
 def solve_batch_compact(goals_bf, starts, cons: ConstraintSet,
