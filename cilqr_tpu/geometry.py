@@ -224,11 +224,40 @@ def sample_polygon_edges(corners, multiple: int = 5):
 
 
 # ---------------------------------------------------------------------------
-# Masked convex hull (Andrew's monotone chain over padded point sets)
+# Masked convex hull (monotone-chain semantics, chord-slope formulation)
 # ---------------------------------------------------------------------------
 
 def _cross(ox, oy, ax, ay, bx, by):
     return (ax - ox) * (by - oy) - (ay - oy) * (bx - ox)
+
+
+def _chain_membership(sx, sy, valid):
+    """Lower/upper monotone-chain membership over lexicographically sorted
+    points, by pairwise chord slopes — O(K^2) pure elementwise, replacing
+    the sequential stack walk (see convex_hull_masked).
+
+    A point k (sorted position) is BELOW every chord spanning it iff
+    max_{i<k} slope(i,k) < min_{j>k} slope(k,j)  (lower-hull vertex), and
+    ABOVE every chord iff min_{i<k} slope(i,k) > max_{j>k} slope(k,j)
+    (upper-hull vertex); strict inequalities drop collinear boundary
+    points exactly like the strict-turn stack pops. Endpoints satisfy
+    both vacuously. Requires deduplicated inputs (equal points make 0/0
+    slopes)."""
+    K = sx.shape[0]
+    q = jnp.arange(K)
+    dx = sx[None, :] - sx[:, None]          # [i, k], >= 0 for i < k
+    dy = sy[None, :] - sy[:, None]
+    # i < k and both valid; NaNs (invalid-pair 0/0) never selected
+    pair = (q[:, None] < q[None, :]) & valid[:, None] & valid[None, :]
+    slope = dy / dx                          # +inf for vertical (y sorted)
+    inf = jnp.asarray(jnp.inf, sx.dtype)
+    max_l = jnp.max(jnp.where(pair, slope, -inf), axis=0)       # [k]
+    min_l = jnp.min(jnp.where(pair, slope, inf), axis=0)
+    max_r = jnp.max(jnp.where(pair, slope, -inf), axis=1)       # [i]
+    min_r = jnp.min(jnp.where(pair, slope, inf), axis=1)
+    lower = (max_l < min_r) & valid
+    upper = (min_l > max_r) & valid
+    return lower, upper
 
 
 def convex_hull_masked(pts, mask, eps: float = 0.0, return_indices: bool = False):
@@ -241,84 +270,52 @@ def convex_hull_masked(pts, mask, eps: float = 0.0, return_indices: bool = False
     points are dropped (strict turns only), matching cv::convexHull's
     default output of extreme vertices (corridor.cc:184,218).
 
-    Pure fixed-shape implementation: sort + two fori_loop stack passes, so it
-    vmaps across knots/scenarios into fully vectorized lane-parallel code.
+    Pure fixed-shape implementation with NO sequential loops: the stack
+    walk of Andrew's monotone chain serializes into ~300 XLA loop steps
+    of per-lane dynamic-index updates when vmapped over knots/scenarios
+    (measured as the corridor stage's dominant cost on TPU); here chain
+    membership is the O(K^2) chord-slope test (_chain_membership) and the
+    output order is one argsort of per-point ranks — everything
+    vectorizes across the vmap lanes at full width. Output convention is
+    identical to the chain walk: lower hull left-to-right (drop the
+    rightmost), then upper hull right-to-left (drop the leftmost).
     """
     K = pts.shape[0]
     big = jnp.asarray(1e30, pts.dtype)
-    x = jnp.where(mask, pts[:, 0], big)
-    y = jnp.where(mask, pts[:, 1], big)
-    # lexicographic sort by (x, y): combine via stable double argsort
-    order = jnp.lexsort((y, x))
+    px = pts[:, 0]
+    py = pts[:, 1]
+    # exact duplicates (later occurrence invalidated): the stack walk
+    # drops them via zero-cross pops; the slope test needs them gone
+    # (0/0 slopes)
+    idx = jnp.arange(K)
+    same = (px[None, :] == px[:, None]) & (py[None, :] == py[:, None])
+    dup = (same & mask[:, None] & (idx[:, None] < idx[None, :])).any(axis=0)
+    mask = mask & ~dup
+    x = jnp.where(mask, px, big)
+    y = jnp.where(mask, py, big)
+    order = jnp.lexsort((y, x)).astype(jnp.int32)
     sx = x[order]
     sy = y[order]
     m = mask.sum()
+    q = idx
+    valid = q < m
 
-    def half_hull(px, py, pidx, n):
-        """Build one hull chain over points 0..n-1 in given order."""
-        stack_x = jnp.zeros((K,), pts.dtype)
-        stack_y = jnp.zeros((K,), pts.dtype)
-        stack_i = jnp.zeros((K,), jnp.int32)
+    lower, upper = _chain_membership(sx, sy, valid)
 
-        def body(i, carry):
-            sxs, sys, sis, top = carry
-            cx = px[i]
-            cy = py[i]
-            ci = pidx[i]
-
-            def pop_cond(c):
-                sxs_, sys_, _, t = c
-                keep = t >= 2
-                a = jnp.clip(t - 2, 0, K - 1)
-                b = jnp.clip(t - 1, 0, K - 1)
-                cr = _cross(sxs_[a], sys_[a], sxs_[b], sys_[b], cx, cy)
-                return keep & (cr <= eps)
-
-            def pop_body(c):
-                a, b, si, t = c
-                return a, b, si, t - 1
-
-            sxs, sys, sis, top = jax.lax.while_loop(pop_cond, pop_body,
-                                                    (sxs, sys, sis, top))
-            slot = jnp.clip(top, 0, K - 1)
-            sxs = sxs.at[slot].set(cx)
-            sys = sys.at[slot].set(cy)
-            sis = sis.at[slot].set(ci)
-            active = i < n
-            sxs = jnp.where(active, sxs, carry[0])
-            sys = jnp.where(active, sys, carry[1])
-            sis = jnp.where(active, sis, carry[2])
-            top = jnp.where(active, top + 1, carry[3])
-            return sxs, sys, sis, top
-
-        return jax.lax.fori_loop(0, K, body, (stack_x, stack_y, stack_i,
-                                              jnp.int32(0)))
-
-    # lower hull: left-to-right; upper hull: right-to-left
-    oidx = order.astype(jnp.int32)
-    lx, ly, li, ln = half_hull(sx, sy, oidx, m)
-    # reversed array has the (K - m) padded points first; shift them out
-    shift = K - m
-    rx_ = jnp.roll(sx[::-1], -shift)
-    ry_ = jnp.roll(sy[::-1], -shift)
-    ri_ = jnp.roll(oidx[::-1], -shift)
-    ux, uy, ui, un = half_hull(rx_, ry_, ri_, m)
-
-    # concatenate lower[0:ln-1] + upper[0:un-1]
-    total = jnp.maximum(ln - 1, 1) + jnp.maximum(un - 1, 0)
-    idx = jnp.arange(K)
-    take_lower = idx < jnp.maximum(ln - 1, 1)
-    uidx = jnp.clip(idx - jnp.maximum(ln - 1, 1), 0, K - 1)
-    cidx = jnp.clip(idx, 0, K - 1)
-    hx = jnp.where(take_lower, lx[cidx], ux[uidx])
-    hy = jnp.where(take_lower, ly[cidx], uy[uidx])
-    hi = jnp.where(take_lower, li[cidx], ui[uidx])
-    count = jnp.where(m >= 2, total, m)
-    # single-point / degenerate handling: if m == 1, hull = that point
-    hx = jnp.where(m >= 1, hx, 0.0)
-    hy = jnp.where(m >= 1, hy, 0.0)
+    # output ranks: lower-chain points ascending minus the rightmost
+    # (rank q), then upper-chain points descending minus the leftmost
+    # (rank 2K - q); the single-point hull keeps its one point
+    bigi = jnp.int32(4 * K)
+    lower_rank = jnp.where(lower & ((q < m - 1) | ((m == 1) & (q == 0))),
+                           q, bigi)
+    upper_rank = jnp.where(upper & (q > 0), 2 * K - q, bigi)
+    rank = jnp.minimum(lower_rank, upper_rank)
+    outpos = jnp.argsort(rank)
+    count = jnp.sum(rank < bigi)
     hmask = idx < count
-    hull = jnp.stack([jnp.where(hmask, hx, 0.0), jnp.where(hmask, hy, 0.0)], axis=-1)
+    hx = jnp.where(hmask, sx[outpos], 0.0)
+    hy = jnp.where(hmask, sy[outpos], 0.0)
+    hull = jnp.stack([hx, hy], axis=-1)
     if return_indices:
-        return hull, hmask, count, jnp.where(hmask, hi, 0)
+        return hull, hmask, count, jnp.where(hmask, order[outpos], 0)
     return hull, hmask, count
