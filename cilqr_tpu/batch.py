@@ -26,11 +26,12 @@ def solve_batch(goals, starts, cons: ConstraintSet, cfg, veh, dt,
     """Batched CILQR solve over a leading batch axis on every input.
 
     backend='blast' (default): batch-last layout solver
-    (solver_blast.solve_batch_bl) — full vector-lane utilization on TPU.
+    (solver_blast.solve_batch_bl) — full vector-lane utilization on TPU;
+    the measured fastest (docs/PERF.md).
     backend='mega': full-solve Pallas megakernel (pallas/megasolve.py) —
-    the entire outer loop VMEM-resident per 128-lane block; fastest on
-    TPU; near-parity (line-search decisions can flip on threshold lanes
-    due to fp reassociation, docs/PERF.md).
+    the entire outer loop VMEM-resident per 128-lane block. QUARANTINED:
+    measured 2,480 vs blast's ~6-7k solves/s at B=1024 (docs/PERF.md);
+    kept parity-tested, not a production path.
     backend='vmap': jax.vmap of the single-problem solver — the semantic
     reference (identical decisions; controls agree to fp-reassociation
     noise, tests/test_solver_blast.py).
