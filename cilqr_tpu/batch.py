@@ -83,6 +83,9 @@ class BatchMetrics(NamedTuple):
     iters_p99: float
     cost_total_mean: float
     cost_components_mean: dict
+    # lanes whose windowed lane-segment search may have selected a wrong
+    # plane (SolveResult.lane_clipped); investigate any nonzero count
+    lane_clipped_count: int = 0
 
     @staticmethod
     def from_result(res: SolveResult) -> "BatchMetrics":
@@ -101,6 +104,9 @@ class BatchMetrics(NamedTuple):
             iters_p50=float(np.percentile(iters, 50)),
             iters_p99=float(np.percentile(iters, 99)),
             cost_total_mean=float(np.asarray(res.cost.total).mean()),
+            lane_clipped_count=(
+                0 if res.lane_clipped is None
+                else int(np.asarray(res.lane_clipped).sum())),
             cost_components_mean={
                 "target": float(np.asarray(res.cost.target).mean()),
                 "dynamic": float(np.asarray(res.cost.dynamic).mean()),

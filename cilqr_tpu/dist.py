@@ -89,23 +89,25 @@ def sharded_solve_step(cfg: PlannerConfig, mesh: Mesh,
     return jax.jit(fn)
 
 
-def sharded_pipeline_step(cfg: PlannerConfig, mesh: Mesh, grid, lane):
-    """Full-pipeline sharded step: DP -> corridor -> solve per scenario,
-    scenario batch sharded over the mesh; psum stats. grid/lane are
-    replicated (same road for the whole fleet)."""
+def sharded_pipeline_step(cfg: PlannerConfig, mesh: Mesh, grid, lane,
+                          backend: str = "blast"):
+    """Full-pipeline sharded step: each device runs the batched pipeline
+    (pipeline.plan_batch: vmapped DP -> vmapped corridors -> batch-last
+    CILQR solve with compaction) on its scenario shard; psum stats over
+    the mesh. grid/lane are replicated (same road for the whole fleet).
+
+    Returns a jitted fn (scns pytree [B,...], starts [B,4]) ->
+    (PlanOutput sharded over batch, global stats dict)."""
     from . import pipeline as pipeline_mod
 
     spec = P("batch")
 
     def _local(scns, starts):
-        def one(scn, start):
-            return pipeline_mod.plan(
-                scn, (start[0], start[1], start[2], start[3]), cfg, grid,
-                lane)
-
-        out = jax.vmap(one)(scns, starts)
+        out = pipeline_mod.plan_batch(scns, starts, cfg, grid, lane,
+                                      backend=backend)
         stats = device_metrics(out.solve)
         stats["dp_ok"] = out.dp_ok.sum().astype(jnp.float32)
+        stats["ok"] = out.ok.sum().astype(jnp.float32)
         stats = {k: jax.lax.psum(v, "batch") for k, v in stats.items()}
         return out, stats
 

@@ -51,6 +51,51 @@ def test_sharded_solve_step_8_devices():
                                atol=1e-12)
 
 
+def test_sharded_pipeline_step_8_devices():
+    """Full-pipeline sharded step (DP -> corridor -> blast solve per
+    shard) against the unsharded plan_batch: same statuses/iters, controls
+    to compaction-width fusion noise, psum'd stats equal the direct sums."""
+    from cilqr_tpu import pipeline, scenario, world
+
+    assert len(jax.devices()) >= 8
+    cfg = PlannerConfig()
+    Bn = 8
+    cl = scenario.make_centerline()
+    barriers = scenario.build_road_barriers(cl)
+    grid = world.build_barrier_grid(barriers[0], cfg.dp.grid_cell,
+                                    half=cfg.vehicle.radius)
+    lane = pipeline.make_lane_tuple(barriers[1], barriers[2], cfg)
+    scns = scenario.make_scenario_batch(range(Bn), dtype=jnp.float64)
+    starts = jnp.tile(jnp.asarray([0.0, 0.0, 0.0, 10.0], jnp.float64),
+                      (Bn, 1))
+
+    mesh = D.make_batch_mesh(jax.devices()[:8])
+    scns_s, starts_s = D.shard_batch(mesh, (scns, starts))
+    step = D.sharded_pipeline_step(cfg, mesh, grid, lane)
+    out_s, stats = step(scns_s, starts_s)
+
+    out0 = pipeline.plan_batch(scns, starts, cfg, grid, lane)
+    np.testing.assert_array_equal(np.asarray(out_s.solve.status),
+                                  np.asarray(out0.solve.status))
+    # per-lane decisions are independent of batch POSITION, but not of
+    # batch WIDTH: XLA fuses the same per-lane graph differently per
+    # width (~1e-14 f64 noise) and threshold-chaotic lanes can fork
+    # (docs/PERF.md "fp sensitivity"). Require decision-identical lanes
+    # to match tightly and bound the chaotic minority.
+    it_s = np.asarray(out_s.solve.iters)
+    it_0 = np.asarray(out0.solve.iters)
+    stable = it_s == it_0
+    assert stable.sum() >= Bn - 2, (it_s, it_0)
+    np.testing.assert_allclose(np.asarray(out_s.solve.us)[stable],
+                               np.asarray(out0.solve.us)[stable],
+                               atol=1e-9)
+    assert np.isfinite(np.asarray(out_s.solve.us)).all()
+    assert float(stats["n"]) == Bn
+    assert float(stats["dp_ok"]) == float(out0.dp_ok.sum())
+    assert float(stats["ok"]) == float(out0.ok.sum())
+    assert float(stats["converged"]) == Bn
+
+
 def test_mpc_warm_start_converges_faster():
     from cilqr_tpu import scenario
     from cilqr_tpu import world as W
