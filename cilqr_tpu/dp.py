@@ -24,9 +24,10 @@ import jax.numpy as jnp
 
 from .config import DpConfig, PlannerConfig
 from .reference_line import (compute_path_profile, evaluate_station_fields,
-                             get_projection)
+                             get_projection, pack_station_rows)
 from .types import Scenario, Traj
-from .world import BarrierGrid, check_optimization_collision, dyn_polys_at
+from .world import (BarrierGrid, check_optimization_collision, dilate_polys,
+                    dyn_polys_at)
 
 K_EPS_LOCAL = 1e-3   # dp_planner.cpp:29 (file-local kMathEpsilon)
 
@@ -39,10 +40,11 @@ class DpResult(NamedTuple):
     sel_l: jnp.ndarray    # [NT] winning lateral indices
 
 
-def _lateral_offset(cl: Traj, s, l_ind, safe_margin, nl):
+def _lateral_offset(cl: Traj, s, l_ind, safe_margin, nl, packed=None):
     """GetLateralOffset (dp_planner.h:84-92): l_ind == NL-1 -> centerline;
     else lb + (ub-lb) * linspace(0,1,NL-1)[l_ind]."""
-    ref = evaluate_station_fields(cl, s, ("left_bound", "right_bound"))
+    ref = evaluate_station_fields(cl, s, ("left_bound", "right_bound"),
+                                  packed=packed)
     lb = -ref["right_bound"] + safe_margin
     ub = ref["left_bound"] - safe_margin
     frac = l_ind.astype(s.dtype) / (nl - 2)
@@ -63,7 +65,7 @@ def _interp_sl(parent_s, parent_l, station, cur_l, nseg):
 
 def _segment_cost(cl: Traj, scn: Scenario, grid, cfg: PlannerConfig,
                   s_pts, l_pts, last_s, last_l, dyn_polys, nseg,
-                  safe_margin, ref=None):
+                  safe_margin, ref=None, dilated=None):
     """Collision/bounds sweep over one interpolated (s,l) segment
     (GetCollisionCost, dp_planner.cpp:39-85). All arguments batched over
     leading dims; s_pts/l_pts have a trailing [nseg] axis.
@@ -106,7 +108,7 @@ def _segment_cost(cl: Traj, scn: Scenario, grid, cfg: PlannerConfig,
     collide = check_optimization_collision(
         scn, None, cx, cy, heading, veh.radius, veh.r2x, veh.f2x,
         collision_buffer=0.0, grid=grid, mode=dp.collision_mode,
-        dyn_polys=dyn_polys)
+        dyn_polys=dyn_polys, dilated=dilated)
 
     any_bad = (off_road | collide).any(axis=-1)
     return jnp.where(any_bad, dp.w_obstacle, 0.0)
@@ -127,6 +129,14 @@ def plan(scn: Scenario, start_x, start_y, start_theta,
     s0, l0, _ = get_projection(cl, jnp.asarray(start_x, dtype),
                                jnp.asarray(start_y, dtype))
 
+    # once-per-plan precomputes: packed station rows (2 row gathers per
+    # probe station instead of 14 scalar gathers) and the static obstacles
+    # dilated by the probe half-size (4 half-plane tests per probe instead
+    # of a SAT tensor) — see pack_station_rows / DilatedPolys
+    packed = pack_station_rows(cl)
+    sd = dilate_polys(scn.static_obs, scn.static_mask[:, None],
+                      cfg.vehicle.radius)
+
     l_inds = jnp.arange(NL)
 
     def offsets(svals):
@@ -134,7 +144,8 @@ def plan(scn: Scenario, start_x, start_y, start_theta,
         per station for ALL NL laterals (same ops as _lateral_offset
         broadcast over the lateral index)."""
         ref = evaluate_station_fields(cl, svals,
-                                      ("left_bound", "right_bound"))
+                                      ("left_bound", "right_bound"),
+                                      packed=packed)
         lb = -ref["right_bound"] + safe_margin
         ub = ref["left_bound"] - safe_margin
         frac = l_inds.astype(svals.dtype) / (NL - 2)
@@ -156,10 +167,13 @@ def plan(scn: Scenario, start_x, start_y, start_theta,
     s_dd0, _ = _interp_sl(ps[:, :1], pl[:, :1],
                           jnp.broadcast_to(station[:, None], (NS, 1)),
                           cur_l_l0[:, :1], nseg0)
-    ref0 = evaluate_station_fields(cl, s_dd0)     # [NS, 1, 17]
+    ref0 = evaluate_station_fields(cl, s_dd0, packed=packed)  # [NS, 1, 17]
+    dyn0 = dyn_polys_at(scn, tv0)
     obst0 = _segment_cost(cl, scn, grid, cfg, s_pts, l_pts,
-                          ps, pl, dyn_polys_at(scn, tv0), nseg0,
-                          safe_margin, ref=ref0)
+                          ps, pl, None, nseg0, safe_margin, ref=ref0,
+                          dilated=(sd, dilate_polys(
+                              dyn0[0], dyn0[1][..., None],
+                              cfg.vehicle.radius)))
 
     cur_l = cur_l_l0                               # [NS, NL]
     ds1 = jnp.broadcast_to(station[:, None], (NS, NL))
@@ -190,8 +204,8 @@ def plan(scn: Scenario, start_x, start_y, start_theta,
         p_sind = parent_s_inds[t].reshape(-1)
         p_lind = parent_l_inds[t].reshape(-1)
         p_l_ind_self = jnp.tile(jnp.arange(NL), NS)       # cell's own l index
-        p_l = jax.vmap(lambda s, li: _lateral_offset(cl, s, li, safe_margin, NL))(
-            p_s, p_l_ind_self)
+        p_l = jax.vmap(lambda s, li: _lateral_offset(
+            cl, s, li, safe_margin, NL, packed))(p_s, p_l_ind_self)
 
         # grandparents (dp_planner.cpp:42-53,92-103)
         if t == 0:
@@ -201,8 +215,8 @@ def plan(scn: Scenario, start_x, start_y, start_theta,
         else:
             prev_cur_s = cur_ss[t - 1]                    # [NS, NL]
             gp_s = prev_cur_s[jnp.clip(p_sind, 0), jnp.clip(p_lind, 0)]
-            gp_l = jax.vmap(lambda s, li: _lateral_offset(cl, s, li, safe_margin, NL))(
-                gp_s, p_lind)
+            gp_l = jax.vmap(lambda s, li: _lateral_offset(
+                cl, s, li, safe_margin, NL, packed))(gp_s, p_lind)
             gp_lind = p_lind
 
         # prev segment's last point (GetCollisionCost:51-53): interpolate
@@ -234,6 +248,8 @@ def plan(scn: Scenario, start_x, start_y, start_theta,
         st_pc = jnp.broadcast_to(c_station[None, :], (P, Cn))
         tv = times[t] + jnp.arange(nseg, dtype=dtype) * (unit_time / nseg)
         dyn_l = dyn_polys_at(scn, tv)   # fixed per layer (see _segment_cost)
+        dd_l = dilate_polys(dyn_l[0], dyn_l[1][..., None],
+                            cfg.vehicle.radius)
         chunk = max(1, min(dp.parent_chunk, P))
         n_chunks = -(-P // chunk)
         pad = n_chunks * chunk - P
@@ -257,12 +273,12 @@ def plan(scn: Scenario, start_x, start_y, start_theta,
                 jnp.broadcast_to(cp_l[:, None, None], (chunk, NS, 1)),
                 jnp.broadcast_to(station[None, :, None], (chunk, NS, 1)),
                 ccur_l.reshape(chunk, NS, NL)[:, :, :1], nseg)
-            ref_dd = evaluate_station_fields(cl, s_dd)
+            ref_dd = evaluate_station_fields(cl, s_dd, packed=packed)
             obst = _segment_cost(
                 cl, scn, grid, cfg, csp, clp,
                 jnp.broadcast_to(clast_s[:, None, None], (chunk, NS, NL)),
                 jnp.broadcast_to(clast_l[:, None, None], (chunk, NS, NL)),
-                dyn_l, nseg, safe_margin, ref=ref_dd)
+                None, nseg, safe_margin, ref=ref_dd, dilated=(sd, dd_l))
             return obst.reshape(chunk, Cn)
 
         chunked = jax.lax.map(
@@ -325,10 +341,11 @@ def plan(scn: Scenario, start_x, start_y, start_theta,
             nseg_i = 16
         p_l_i = jnp.where(p_l_ind < 0, l0,
                           _lateral_offset(cl, p_s_i, jnp.maximum(p_l_ind, 0),
-                                          safe_margin, NL))
+                                          safe_margin, NL, packed))
         st_i = station[sel_s[i]]
         cur_s_i = p_s_i + st_i
-        cur_l_i = _lateral_offset(cl, cur_s_i, sel_l[i], safe_margin, NL)
+        cur_l_i = _lateral_offset(cl, cur_s_i, sel_l[i], safe_margin, NL,
+                                  packed)
         sseg, lseg = _interp_sl(p_s_i, p_l_i, st_i, cur_l_i, nseg_i)
         all_s.append(sseg)
         all_l.append(lseg)
@@ -339,7 +356,7 @@ def plan(scn: Scenario, start_x, start_y, start_theta,
     prev_l = jnp.concatenate([jnp.asarray([l0.astype(dtype)]).reshape(1), seg_l[:-1]])
     dl = seg_l - prev_l
     ds = jnp.maximum(seg_s - prev_s, K_EPS_LOCAL)
-    ref = evaluate_station_fields(cl, seg_s)
+    ref = evaluate_station_fields(cl, seg_s, packed=packed)
     cx = ref["x"] - seg_l * jnp.sin(ref["theta"])
     cy = ref["y"] + seg_l * jnp.cos(ref["theta"])
     theta = ref["theta"] + jnp.arctan(

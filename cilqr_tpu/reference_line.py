@@ -83,30 +83,70 @@ def uniform_station_index(s_table, station):
     return jnp.clip(idx, 1, n - 1)
 
 
-def evaluate_station_fields(traj: Traj, station, fields=DP_FIELDS):
+PACK_FIELDS = ("s",) + DP_FIELDS  # row layout of pack_station_rows
+
+
+def pack_station_rows(traj: Traj, dtype=None):
+    """Pack the 7 station-query fields into one [N, 8] row table (one
+    padding column keeps rows lane-aligned).
+
+    evaluate_station_fields' per-field table reads are 14 independent
+    scalar gathers per query station; on TPU gather cost scales with the
+    INDEX count, so gathering two 8-wide contiguous rows instead retires
+    the same bytes at 1/7 the indices. Raw field values are stored
+    unchanged (theta raw, not pre-normalized), so the interpolation
+    arithmetic after the gather is bit-identical to the unpacked path."""
+    cols = [getattr(traj, f) for f in PACK_FIELDS]
+    cols.append(jnp.zeros_like(cols[0]))
+    rows = jnp.stack(cols, axis=-1)
+    return rows if dtype is None else rows.astype(dtype)
+
+
+def evaluate_station_fields(traj: Traj, station, fields=DP_FIELDS,
+                            packed=None):
     """Lean EvaluateStation: interpolate only the requested fields.
 
     Matches evaluate_station per field (same lerp/slerp) with two TPU
     cost cuts for the DP probe sweep (dp.py): only the needed table
     gathers (the full Traj interpolation costs 13 x 2 per query), and the
     uniform-grid arithmetic index instead of searchsorted (see
-    uniform_station_index for the equivalence argument)."""
+    uniform_station_index for the equivalence argument).
+
+    packed: optional pack_station_rows(traj) table — serves all fields
+    from two row gathers with bit-identical interpolation arithmetic."""
     idx = uniform_station_index(traj.s, station)
     i0 = idx - 1
     i1 = idx
-    k0 = traj.s[i0]
-    k1 = traj.s[i1]
+
+    if packed is not None:
+        r0 = packed[i0]        # [..., 8] row gathers
+        r1 = packed[i1]
+        col = {f: i for i, f in enumerate(PACK_FIELDS)}
+
+        def v0(f):
+            return r0[..., col[f]]
+
+        def v1(f):
+            return r1[..., col[f]]
+    else:
+        def v0(f):
+            return getattr(traj, f)[i0]
+
+        def v1(f):
+            return getattr(traj, f)[i1]
+
+    k0 = v0("s") if packed is not None else traj.s[i0]
+    k1 = v1("s") if packed is not None else traj.s[i1]
     denom = k1 - k0
     near = jnp.abs(denom) < 1e-10
     w = jnp.where(near, 0.0, (station - k0) / jnp.where(near, 1.0, denom))
     out = {}
     for f in fields:
-        v = getattr(traj, f)
         if f == "theta":
-            out[f] = slerp(v[i0], k0, v[i1], k1,
+            out[f] = slerp(v0(f), k0, v1(f), k1,
                            jnp.where(near, k0, station))
         else:
-            out[f] = (1 - w) * v[i0] + w * v[i1]
+            out[f] = (1 - w) * v0(f) + w * v1(f)
     return out
 
 

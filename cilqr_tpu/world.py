@@ -206,12 +206,84 @@ def dyn_polys_at(scn: Scenario, times):
     return jax.vmap(at_t)(jnp.asarray(times))
 
 
+class DilatedPolys(NamedTuple):
+    """Half-plane form of convex polygons dilated by an axis-aligned box
+    of half-size ``half`` (Minkowski sum P (+) [-half, half]^2).
+
+    AABB-vs-convex SAT overlap(box(c, half), P) is EQUIVALENT to the point
+    membership c in P (+) box: the only candidate separating axes are the
+    box axes and P's edge normals (convex_overlap_aabb tests exactly
+    these), and on each axis the interval test "poly proj range, expanded
+    by the box's support half*(|nx|+|ny|), contains c.n" is the same
+    predicate as "proj ranges overlap". Precomputing the expanded ranges
+    once per polygon turns each probe into 4 dot products + interval
+    compares instead of a full SAT tensor — the DP sweep evaluates ~300k
+    probes per replan against the same handful of polygons
+    (dp_planner.cpp:39-85).
+
+    Fields broadcast over any leading poly-batch shape; E = vertex count
+    (degenerate padded edges get (-inf, +inf) ranges so they never
+    separate, matching _sat_separates' deg handling)."""
+
+    nx: jnp.ndarray    # [..., E] edge-normal x
+    ny: jnp.ndarray    # [..., E] edge-normal y
+    lo: jnp.ndarray    # [..., E] expanded projection lower bound
+    hi: jnp.ndarray    # [..., E] expanded projection upper bound
+    minx: jnp.ndarray  # [...] poly AABB (+/- half)
+    miny: jnp.ndarray
+    maxx: jnp.ndarray
+    maxy: jnp.ndarray
+    valid: jnp.ndarray  # [...] bool
+
+
+def dilate_polys(polys, mask, half) -> DilatedPolys:
+    """Precompute DilatedPolys for padded polygons [..., K, 2] + mask.
+
+    mask is per-VERTEX ([..., K] or broadcastable to it) — pass a
+    per-polygon flag as ``flag[..., None]``, never bare (a bare [P] flag
+    with P == K broadcasts along the wrong axis silently)."""
+    from .geometry import _first_valid_fill
+
+    pts, m = _first_valid_fill(polys, mask)
+    px = pts[..., 0]
+    py = pts[..., 1]
+    nxt = jnp.roll(pts, -1, axis=-2)
+    ex = nxt[..., 0] - px
+    ey = nxt[..., 1] - py
+    deg = (jnp.abs(ex) + jnp.abs(ey)) <= 0
+    # normal n = (ey, -ex); project all vertices on every normal
+    pn = (px[..., None, :] * ey[..., :, None] -
+          py[..., None, :] * ex[..., :, None])
+    hn = half * (jnp.abs(ey) + jnp.abs(ex))
+    big = jnp.asarray(jnp.inf, polys.dtype)
+    return DilatedPolys(
+        nx=ey, ny=-ex,
+        lo=jnp.where(deg, -big, pn.min(axis=-1) - hn),
+        hi=jnp.where(deg, big, pn.max(axis=-1) + hn),
+        minx=px.min(axis=-1) - half, maxx=px.max(axis=-1) + half,
+        miny=py.min(axis=-1) - half, maxy=py.max(axis=-1) + half,
+        valid=m.any(axis=-1))
+
+
+def point_hits_dilated(d: DilatedPolys, cx, cy):
+    """Membership of point(s) (cx, cy) in each dilated polygon — i.e. the
+    box(point, half)-overlaps-poly predicate. cx/cy broadcast against the
+    poly batch dims (add trailing singleton axes to rank-align); returns
+    one bool per (point, poly)."""
+    t = cx[..., None] * d.nx + cy[..., None] * d.ny
+    in_edges = ((t >= d.lo) & (t <= d.hi)).all(axis=-1)
+    in_box = ((cx >= d.minx) & (cx <= d.maxx) &
+              (cy >= d.miny) & (cy <= d.maxy))
+    return d.valid & in_edges & in_box
+
+
 def check_optimization_collision(scn: Scenario, time, x, y, theta,
                                  veh_radius, r2x, f2x,
                                  collision_buffer=0.0,
                                  grid: BarrierGrid | None = None,
                                  mode: str = "grid",
-                                 dyn_polys=None):
+                                 dyn_polys=None,
+                                 dilated=None):
     """Two-disc collision probe (Environment::CheckOptimizationCollision,
     environment.cpp:92-112): axis-aligned boxes of half-size radius+buffer
     at the front/rear disc centers, tested against static polygons, road
@@ -222,7 +294,13 @@ def check_optimization_collision(scn: Scenario, time, x, y, theta,
     REQUIRES the queries' TRAILING axis to be the time axis of length T'
     (each probe [..., i] was taken at times[i]); the ``time`` argument is
     then ignored. Identical results to the per-probe path (same
-    _dyn_polygon_at lookups, same SAT) without per-probe gathers."""
+    _dyn_polygon_at lookups, same SAT) without per-probe gathers.
+
+    dilated: optional (static DilatedPolys [KS,...], dynamic DilatedPolys
+    [T', KD, ...]) precomputed with dilate_polys(..., half) for THIS
+    call's half — replaces both SAT passes with point-in-dilated-polygon
+    tests (same separating-axes predicate; see DilatedPolys). The dynamic
+    entry requires the trailing-time-axis convention like dyn_polys."""
     half = veh_radius + collision_buffer
     ct = jnp.cos(theta)
     st = jnp.sin(theta)
@@ -234,7 +312,12 @@ def check_optimization_collision(scn: Scenario, time, x, y, theta,
     def box_hit(cx, cy):
         minx, maxx = cx - half, cx + half
         miny, maxy = cy - half, cy + half
-        hit = static_obstacle_overlap(scn, minx, miny, maxx, maxy)
+        if dilated is not None:
+            sd, dd = dilated
+            hit = point_hits_dilated(sd, cx[..., None],
+                                     cy[..., None]).any(axis=-1)
+        else:
+            hit = static_obstacle_overlap(scn, minx, miny, maxx, maxy)
         if mode == "grid":
             assert grid is not None
             if grid.dilated is not None and grid.half == half:
@@ -248,7 +331,10 @@ def check_optimization_collision(scn: Scenario, time, x, y, theta,
             cnt = barrier_points_in_box_exact(scn.barrier_xy, scn.barrier_mask,
                                               minx, miny, maxx, maxy)
             hit = hit | (cnt > 0)
-        if dyn_polys is None:
+        if dilated is not None:
+            hd = point_hits_dilated(dd, cx[..., None], cy[..., None])
+            hit = hit | hd.any(axis=-1)       # [..., T', KD] -> [..., T']
+        elif dyn_polys is None:
             hit = hit | dynamic_obstacle_overlap(scn, time, minx, miny,
                                                  maxx, maxy)
         else:
