@@ -156,6 +156,27 @@ def static_obstacle_overlap(scn: Scenario, minx, miny, maxx, maxy):
     return hits.any(axis=-1)
 
 
+def _uniform_time_index(times, q):
+    """upper_bound index #{i: times[i] <= q} for a NEAR-UNIFORM sorted
+    table, un-clipped: arithmetic guess from the leading spacing plus an
+    exact +-1 fix-up against the stored values (2 scalar gathers), instead
+    of searchsorted's log2(T)-step gather chain — per-element gathers are
+    the TPU poison (docs/PERF.md). EXACT (not approximate) whenever the
+    true index is within 1 of the guess, which holds for any table with
+    |times[i] - (t0 + i*h)| < h/2 — the scenario generator builds every
+    track as t0 + arange(n)*dt (scenario.py sample_*), and the constant
+    padded tail only ever sits past the final clip."""
+    T = times.shape[0]
+    t0 = times[0]
+    h = times[1] - t0
+    h = jnp.where(h > 0, h, 1.0)
+    guess = (jnp.floor((q - t0) / h) + 1).astype(jnp.int32)
+    r = jnp.clip(guess, 0, T)
+    r = r + (times[jnp.clip(r, 0, T - 1)] <= q) * (r < T)
+    r = r - (times[jnp.clip(r - 1, 0, T - 1)] > q) * (r > 0)
+    return r
+
+
 def _dyn_polygon_at(scn: Scenario, k, time, eps=0.0):
     """Polygon of dynamic obstacle k at query time: the first sample with
     timestamp > time - eps (upper_bound semantics; eps=0 matches
@@ -163,7 +184,7 @@ def _dyn_polygon_at(scn: Scenario, k, time, eps=0.0):
     QueryDynamicObstacles :133-151). Returns (corners [4,2], active)."""
     times = scn.dyn_times[k]
     L = scn.dyn_len[k]
-    idx = jnp.searchsorted(times, time - eps, side="right")
+    idx = _uniform_time_index(times, time - eps)
     idx = jnp.clip(idx, 0, L - 1)
     active = (scn.dyn_mask[k] & (times[0] <= time + eps) &
               (times[jnp.maximum(L - 1, 0)] >= time - eps))

@@ -133,3 +133,32 @@ def test_check_collision_matches_aabb_probe_at_theta0(scn):
                             jnp.asarray(c[1]), jnp.asarray(0.0),
                             2 * half, 2 * half)
     assert (cnt > 0) == bool(hit)
+
+
+def test_uniform_time_index_matches_searchsorted():
+    """_uniform_time_index (arithmetic guess + exact +-1 fixup) must equal
+    np.searchsorted(side="right") on every generator track, including
+    exact-knot queries and queries past both ends (the DP probes land
+    exactly on dynamic-vehicle track timestamps)."""
+    import jax
+
+    scn = SC.make_scenario(seed=2, dtype=jnp.float64)
+    times_all = np.asarray(scn.dyn_times)
+    lens = np.asarray(scn.dyn_len)
+    for k in range(times_all.shape[0]):
+        times = times_all[k]
+        L = max(int(lens[k]), 1)
+        qs = np.concatenate([
+            np.linspace(-1.0, times[-1] + 2.0, 997),
+            times, times - 1e-10, times + 1e-10,
+        ])
+        want = np.searchsorted(times, qs, side="right")
+        got = np.asarray(jax.vmap(
+            lambda q, t=jnp.asarray(times): W._uniform_time_index(t, q))(
+                jnp.asarray(qs)))
+        # the +-1 exactness contract holds only off the constant padded
+        # tail; every caller clips to [0, L-1] (_dyn_polygon_at), where
+        # the two agree everywhere
+        np.testing.assert_array_equal(np.clip(got, 0, L - 1),
+                                      np.clip(want, 0, L - 1),
+                                      err_msg=f"track {k}")
