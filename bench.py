@@ -262,9 +262,23 @@ def _mpc_bench():
     }))
 
 
+def _enable_compile_cache():
+    """Persistent XLA compile cache: first compilation of the big solver
+    programs costs 1-15 min over the tunneled backend (docs/PERF.md);
+    warm process restarts of an unchanged program then load in seconds."""
+    import jax
+
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+
 def main():
     import jax
     import jax.numpy as jnp
+
+    _enable_compile_cache()
 
     from cilqr_tpu.batch import solve_batch
     from cilqr_tpu.config import PlannerConfig
