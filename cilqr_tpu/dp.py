@@ -281,11 +281,18 @@ def plan(scn: Scenario, start_x, start_y, start_theta,
                 None, nseg, safe_margin, ref=ref_dd, dilated=(sd, dd_l))
             return obst.reshape(chunk, Cn)
 
-        chunked = jax.lax.map(
-            chunk_cost,
-            tuple(pad_p(a).reshape((n_chunks, chunk) + a.shape[1:])
-                  for a in (p_s, p_l, last_s, last_l, cur_l_c)))
-        obst = chunked.reshape(n_chunks * chunk, Cn)[:P]
+        if n_chunks == 1:
+            # single chunk: call the body directly — a length-1 lax.map
+            # still compiles to a while loop whose boundary blocks fusion
+            # with the transition update and forces layout round-trips on
+            # the stacked output
+            obst = chunk_cost((p_s, p_l, last_s, last_l, cur_l_c))
+        else:
+            chunked = jax.lax.map(
+                chunk_cost,
+                tuple(pad_p(a).reshape((n_chunks, chunk) + a.shape[1:])
+                      for a in (p_s, p_l, last_s, last_l, cur_l_c)))
+            obst = chunked.reshape(n_chunks * chunk, Cn)[:P]
 
         ds1 = st_pc
         dl1 = cur_l_c - p_l[:, None]
