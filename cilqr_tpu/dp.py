@@ -213,8 +213,14 @@ def plan(scn: Scenario, start_x, start_y, start_theta,
             gp_l = jnp.broadcast_to(l0, p_s.shape)
             gp_lind = jnp.full(p_s.shape, -1, jnp.int32)
         else:
-            prev_cur_s = cur_ss[t - 1]                    # [NS, NL]
-            gp_s = prev_cur_s[jnp.clip(p_sind, 0), jnp.clip(p_lind, 0)]
+            # one-hot select instead of a per-cell 2-D gather: small
+            # dynamic-index gathers under vmap dominated the layer update
+            # on TPU (~48 ms/layer measured with ALL probe math stubbed);
+            # a [P, P] compare + masked reduce is pure vector work
+            prev_flat = cur_ss[t - 1].reshape(-1)         # [P]
+            gflat = jnp.clip(p_sind, 0) * NL + jnp.clip(p_lind, 0)  # [P]
+            goh = gflat[:, None] == jnp.arange(NS * NL)[None, :]
+            gp_s = jnp.sum(jnp.where(goh, prev_flat[None, :], 0.0), axis=1)
             gp_l = jax.vmap(lambda s, li: _lateral_offset(
                 cl, s, li, safe_margin, NL, packed))(gp_s, p_lind)
             gp_lind = p_lind
@@ -311,8 +317,13 @@ def plan(scn: Scenario, start_x, start_y, start_theta,
 
         total = p_cost[:, None] + delta                   # [P, C]
         best_p = jnp.argmin(total, axis=0)                # [C]
-        best_cost = jnp.take_along_axis(total, best_p[None, :], axis=0)[0]
-        new_cur_s = cur_s_c[best_p, jnp.arange(Cn)]
+        # min == total[argmin] exactly (incl. first-index tie semantics);
+        # the winner's cur_s comes from a one-hot masked reduce — both
+        # replace per-column dynamic gathers that dominated the layer
+        # update on TPU (see the grandparent one-hot above)
+        best_cost = jnp.min(total, axis=0)
+        poh = jnp.arange(P)[:, None] == best_p[None, :]   # [P, C]
+        new_cur_s = jnp.sum(jnp.where(poh, cur_s_c, 0.0), axis=0)
         costs.append(best_cost.reshape(NS, NL))
         cur_ss.append(new_cur_s.reshape(NS, NL))
         parent_s_inds.append((best_p // NL).astype(jnp.int32).reshape(NS, NL))

@@ -162,3 +162,43 @@ def test_uniform_time_index_matches_searchsorted():
         np.testing.assert_array_equal(np.clip(got, 0, L - 1),
                                       np.clip(want, 0, L - 1),
                                       err_msg=f"track {k}")
+
+
+def test_dilated_polys_equal_sat_overlap():
+    """point_hits_dilated(dilate_polys(P, half), c) must equal the SAT
+    predicate convex_overlap_aabb(P, box(c, half)) — same separating
+    axes, precomputed (world.DilatedPolys). Fuzz over random convex
+    quads, probe points near and far, and degenerate/padded inputs."""
+    import jax
+
+    from cilqr_tpu.geometry import convex_overlap_aabb
+
+    rng = np.random.default_rng(7)
+    half = 1.1105
+    NP_, NQ = 64, 257
+    # random convex quads: sorted angles on an ellipse + jitter
+    polys = np.zeros((NP_, 4, 2))
+    for i in range(NP_):
+        ang = np.sort(rng.uniform(0, 2 * np.pi, 4))
+        r1, r2 = rng.uniform(0.5, 4.0, 2)
+        cx, cy = rng.uniform(-10, 10, 2)
+        polys[i] = np.stack([cx + r1 * np.cos(ang), cy + r2 * np.sin(ang)],
+                            axis=-1)
+    mask = np.ones((NP_, 4), bool)
+    # a padded (invalid) polygon and a degenerate (repeated-vertex) one
+    mask[0] = False
+    polys[1, 2:] = polys[1, :2]
+    qx = rng.uniform(-16, 16, NQ)
+    qy = rng.uniform(-16, 16, NQ)
+
+    d = W.dilate_polys(jnp.asarray(polys), jnp.asarray(mask), half)
+    got = np.asarray(W.point_hits_dilated(
+        d, jnp.asarray(qx)[:, None], jnp.asarray(qy)[:, None]))  # [NQ, NP]
+
+    want = np.asarray(jax.vmap(  # over polys
+        lambda p, m: convex_overlap_aabb(
+            p, m, jnp.asarray(qx) - half, jnp.asarray(qy) - half,
+            jnp.asarray(qx) + half, jnp.asarray(qy) + half),
+        in_axes=(0, 0), out_axes=-1)(jnp.asarray(polys), jnp.asarray(mask)))
+
+    np.testing.assert_array_equal(got, want)
