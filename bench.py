@@ -66,7 +66,17 @@ def _pipeline_bench(latency: bool):
     from cilqr_tpu import pipeline, scenario, world
     from cilqr_tpu.config import PlannerConfig
 
+    import dataclasses
+
     cfg = PlannerConfig()
+    # DP road-barrier mode: 'frenet' (default — zero-gather closed-form
+    # boundary test; the grid mode's per-probe int8 gather was 160 of the
+    # 220 ms DP stage at B=32, ~16 ns/index latency-bound however
+    # formulated) or 'grid'. Both qualified vs 'exact' winning cells on
+    # pedestrian_test fixtures (tests/test_dp.py::test_dp_frenet_vs_exact).
+    DP_MODE = os.environ.get("BENCH_DP_MODE", "frenet")
+    cfg = dataclasses.replace(cfg, dp=dataclasses.replace(
+        cfg.dp, collision_mode=DP_MODE))
     B = int(os.environ.get("BENCH_BATCH", "256"))
     INNER = int(os.environ.get("BENCH_INNER", "2"))
     REPS = int(os.environ.get("BENCH_REPS", "30" if latency else "4"))
@@ -75,8 +85,9 @@ def _pipeline_bench(latency: bool):
 
     cl = scenario.make_centerline()
     barriers = scenario.build_road_barriers(cl)
-    grid = world.build_barrier_grid(barriers[0], cfg.dp.grid_cell,
-                                    half=cfg.vehicle.radius)
+    grid = (world.build_barrier_grid(barriers[0], cfg.dp.grid_cell,
+                                     half=cfg.vehicle.radius)
+            if DP_MODE == "grid" else None)
     lane = pipeline.make_lane_tuple(barriers[1], barriers[2], cfg,
                                     np.float32)
     scns = scenario.make_scenario_batch(range(B), dtype=dtype)

@@ -246,8 +246,12 @@ class DpConfig:
     w_lateral_velocity_change: float = 1.0
     w_longitudinal_velocity_bias: float = 10.0
     w_longitudinal_velocity_change: float = 1.0
-    # collision occupancy-grid acceleration (device mode); 'exact' brute
-    # force over all road-barrier points is used by parity tests.
+    # road-barrier membership mode for DP probes: 'grid' (dilated
+    # occupancy table, one gather/probe — conservative on the 0.1 m cell
+    # lattice), 'frenet' (zero-gather closed-form boundary test, ~4x
+    # faster DP on TPU since per-probe gathers are latency-bound — see
+    # world.barrier_hit_frenet for its approximations), or 'exact' (brute
+    # force over all barrier points; used by the parity oracle).
     collision_mode: str = "grid"
     grid_cell: float = 0.1
     # parents processed per lax.map step in the transition collision sweep

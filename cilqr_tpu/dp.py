@@ -105,10 +105,17 @@ def _segment_cost(cl: Traj, scn: Scenario, grid, cfg: PlannerConfig,
     heading = ref["theta"] + jnp.arctan(
         (dl / ds) / (1.0 - ref["kappa"] * l_pts))
 
+    frenet = None
+    if dp.collision_mode == "frenet":
+        # zero-gather barrier membership from fields already evaluated at
+        # the probe stations (see world.barrier_hit_frenet); entries
+        # broadcast over the NL child laterals exactly like ref
+        frenet = (ref["x"], ref["y"], ref["theta"], ref["kappa"],
+                  ref["left_bound"], ref["right_bound"])
     collide = check_optimization_collision(
         scn, None, cx, cy, heading, veh.radius, veh.r2x, veh.f2x,
         collision_buffer=0.0, grid=grid, mode=dp.collision_mode,
-        dyn_polys=dyn_polys, dilated=dilated)
+        dyn_polys=dyn_polys, dilated=dilated, frenet=frenet)
 
     any_bad = (off_road | collide).any(axis=-1)
     return jnp.where(any_bad, dp.w_obstacle, 0.0)

@@ -4,14 +4,28 @@ TPU-native replacement for the Environment class
 (/root/reference/algorithm/utils/environment.cpp): all queries are pure
 functions over Scenario tensors, vectorized over arbitrary query batches.
 
-Road-barrier membership has two modes:
+Road-barrier membership has three modes:
   * ``exact`` — brute-force point-in-box over all barrier points, the exact
     semantics of CheckStaticCollision's sorted-x window scan
     (environment.cpp:46-81). Used by parity tests.
   * ``grid``  — a 2-D prefix-sum (integral image) over a 0.1 m occupancy
-    grid of the barrier points: each box query is 4 gathers. Counting is
-    conservative (boundary cells round outward), which can only flag extra
-    collisions within one cell of the boundary. Default on device.
+    grid of the barrier points: each box query is 4 gathers (or 1 with the
+    dilated table). Counting is conservative (boundary cells round
+    outward), which can only flag extra collisions within one cell of the
+    boundary.
+  * ``frenet`` — zero-gather arithmetic test against the road-boundary
+    OFFSET CURVES the barrier points are sampled from (environment.cpp:
+    18-44 samples them at laterals +left_bound/-right_bound every 0.1 m).
+    Per-probe table gathers are the TPU's poison (~16 ns/index however
+    formulated — docs/PERF.md); this mode instead locally linearizes each
+    boundary at the probe's station and intersects the axis-aligned query
+    box with that line in closed form, using only station fields the DP
+    probe sweep already evaluated. Approximations: first-order Frenet
+    offset for the disc centers, boundary curvature ignored across the
+    box span, and spatially-adjacent road sections at far-away stations
+    (hairpins) are invisible — on the reference road the legs are >= 5 m
+    apart so no intrusion is possible. Qualified against ``exact`` in
+    tests/test_dp.py::test_dp_frenet_vs_exact.
 """
 
 from __future__ import annotations
@@ -298,13 +312,79 @@ def point_hits_dilated(d: DilatedPolys, cx, cy):
     return d.valid & in_edges & in_box
 
 
+def _box_hits_line(h, cx, cy, px, py, cs, sn):
+    """Axis-aligned box [c-h, c+h]^2 vs the infinite line through (px, py)
+    with direction (cs, sn): 1-D interval intersection in the line
+    parameter t, |px + t cs - cx| <= h and |py + t sn - cy| <= h."""
+    dx = px - cx
+    dy = py - cy
+    big = jnp.asarray(1e9, dx.dtype)
+
+    def axis_interval(dv, a):
+        small = jnp.abs(a) < 1e-6
+        asafe = jnp.where(small, 1.0, a)
+        p = (-h - dv) / asafe
+        q = (h - dv) / asafe
+        ok0 = jnp.abs(dv) <= h
+        lo = jnp.where(small, jnp.where(ok0, -big, big), jnp.minimum(p, q))
+        hi = jnp.where(small, jnp.where(ok0, big, -big), jnp.maximum(p, q))
+        return lo, hi
+
+    lo1, hi1 = axis_interval(dx, cs)
+    lo2, hi2 = axis_interval(dy, sn)
+    return jnp.maximum(lo1, lo2) <= jnp.minimum(hi1, hi2)
+
+
+def barrier_hit_frenet(h, cx, cy, rx, ry, theta_ref, kappa,
+                       left_bound, right_bound):
+    """Gather-free road-barrier membership for a disc box (frenet mode).
+
+    (cx, cy) is the exact Cartesian disc center; (rx, ry, theta_ref,
+    kappa, left_bound, right_bound) are the centerline point and station
+    fields at the probe's station. The centerline is piecewise
+    arcs/straights (reference_publisher.py's road recipe), so the local
+    boundary through lateral u is EXACTLY a circle of radius |1/kappa - u|
+    around the curvature center C + n/kappa (or the offset line C + u n
+    for straights); the box test is closed-form against that circle/line.
+    Residual approximations: the segment in effect at the probe's station
+    is extended across the whole box span (boxes straddling an arc joint
+    see the wrong tail), the full circle / infinite line stands in for the
+    finite arc/segment (conservative over-report only), and the curve
+    stands in for its 0.1 m point sampling. All inputs broadcast; no
+    table access."""
+    sn = jnp.sin(theta_ref)
+    cs = jnp.cos(theta_ref)
+    curved = jnp.abs(kappa) > 1e-6
+    ksafe = jnp.where(curved, kappa, 1.0)
+    inv = 1.0 / ksafe
+    ctrx = rx - inv * sn
+    ctry = ry + inv * cs
+
+    def one_side(u):
+        # straight: boundary line through C + u n, direction (cs, sn)
+        hit_line = _box_hits_line(h, cx, cy, rx - u * sn, ry + u * cs,
+                                  cs, sn)
+        # arc: boundary circle radius |1/kappa - u|; box-ring overlap via
+        # min/max distance from the box to the circle center
+        rb = jnp.abs(inv - u)
+        ddx = jnp.abs(cx - ctrx)
+        ddy = jnp.abs(cy - ctry)
+        dmin = jnp.hypot(jnp.maximum(ddx - h, 0.0), jnp.maximum(ddy - h, 0.0))
+        dmax = jnp.hypot(ddx + h, ddy + h)
+        hit_arc = (dmin <= rb) & (rb <= dmax)
+        return jnp.where(curved, hit_arc, hit_line)
+
+    return one_side(left_bound) | one_side(-right_bound)
+
+
 def check_optimization_collision(scn: Scenario, time, x, y, theta,
                                  veh_radius, r2x, f2x,
                                  collision_buffer=0.0,
                                  grid: BarrierGrid | None = None,
                                  mode: str = "grid",
                                  dyn_polys=None,
-                                 dilated=None):
+                                 dilated=None,
+                                 frenet=None):
     """Two-disc collision probe (Environment::CheckOptimizationCollision,
     environment.cpp:92-112): axis-aligned boxes of half-size radius+buffer
     at the front/rear disc centers, tested against static polygons, road
@@ -321,7 +401,13 @@ def check_optimization_collision(scn: Scenario, time, x, y, theta,
     [T', KD, ...]) precomputed with dilate_polys(..., half) for THIS
     call's half — replaces both SAT passes with point-in-dilated-polygon
     tests (same separating-axes predicate; see DilatedPolys). The dynamic
-    entry requires the trailing-time-axis convention like dyn_polys."""
+    entry requires the trailing-time-axis convention like dyn_polys.
+
+    frenet: required when mode == "frenet" — a tuple (rx, ry, theta_ref,
+    kappa, left_bound, right_bound) of the centerline point and station
+    fields at each probe's station (entries broadcast against x/y/theta);
+    the road-barrier part of each disc test then uses barrier_hit_frenet
+    instead of any table gather."""
     half = veh_radius + collision_buffer
     ct = jnp.cos(theta)
     st = jnp.sin(theta)
@@ -348,6 +434,11 @@ def check_optimization_collision(scn: Scenario, time, x, y, theta,
                 cnt = barrier_points_in_box_grid(grid, minx, miny,
                                                  maxx, maxy)
                 hit = hit | (cnt > 0)
+        elif mode == "frenet":
+            assert frenet is not None
+            frx, fry, fth, fkap, flb, frb = frenet
+            hit = hit | barrier_hit_frenet(half, cx, cy, frx, fry,
+                                           fth, fkap, flb, frb)
         else:
             cnt = barrier_points_in_box_exact(scn.barrier_xy, scn.barrier_mask,
                                               minx, miny, maxx, maxy)

@@ -130,6 +130,33 @@ def test_dp_matches_oracle(seed):
                                    want[f], atol=tol, err_msg=f)
 
 
+# Same winning-path-diversity seeds as test_dp_matches_oracle, plus the
+# trivial ped_scn seed; seed 6 originally exposed a miss of the earlier
+# line-only frenet formulation on the r=5 hairpin (fixed by the exact
+# per-arc circle test).
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 6])
+def test_dp_frenet_vs_exact(seed):
+    """The gather-free 'frenet' barrier mode (world.barrier_hit_frenet,
+    the TPU bench default — docs/PERF.md) must reproduce the exact-mode
+    winning cells and coarse trajectory on real pedestrian_test scenarios:
+    its closed-form per-arc boundary circle/line test is exact up to
+    arc-joint-straddling boxes and the 0.1 m boundary sampling, so any
+    disagreement here means a probe near a boundary flipped."""
+    cfg_f = dataclasses.replace(
+        CFG, dp=dataclasses.replace(CFG.dp, collision_mode="frenet"))
+    scn = SC.make_scenario(seed=seed, dtype=jnp.float64)
+    want = DP.plan(scn, 0.0, 0.0, 0.0, CFG_EXACT, None)
+    got = DP.plan(scn, 0.0, 0.0, 0.0, cfg_f, None)
+    assert np.array_equal(np.asarray(got.sel_s), np.asarray(want.sel_s))
+    assert np.array_equal(np.asarray(got.sel_l), np.asarray(want.sel_l))
+    np.testing.assert_allclose(float(got.min_cost), float(want.min_cost),
+                               rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(got.traj.x),
+                               np.asarray(want.traj.x), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(got.traj.y),
+                               np.asarray(want.traj.y), atol=1e-12)
+
+
 def test_dp_jit_compiles(empty_scn):
     import jax
 
