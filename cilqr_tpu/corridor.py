@@ -54,15 +54,18 @@ def _box_sample_points(x, y, theta, cfg: CorridorConfig, dtype):
 
 
 def corridor_seed_points(scn: Scenario, x, y, theta, time,
-                         cfg: CorridorConfig, max_points: int):
+                         cfg: CorridorConfig, max_points: int, dyn=None):
     """Seed set per knot: static corners + dynamic corners at knot time +
     box samples (BuildCorridorConstraints, corridor.cc:56-87). With
     is_multiple_sample, obstacle polygon boundaries are sampled 5x
-    (environment.cpp:160-161,177-178)."""
+    (environment.cpp:160-161,177-178). ``dyn`` optionally supplies this
+    knot's precomputed (dyn_pts, dyn_mask) from
+    world.query_dynamic_points_grid (the gather-free all-knots query)."""
     from .geometry import sample_polygon_edges
 
     dtype = scn.static_obs.dtype
-    dyn_pts, dyn_mask = query_dynamic_points(scn, time)
+    dyn_pts, dyn_mask = (query_dynamic_points(scn, time) if dyn is None
+                         else dyn)
     if cfg.is_multiple_sample:
         st_pts = sample_polygon_edges(scn.static_obs, 5).reshape(-1, 2)
         st_mask = jnp.repeat(scn.static_mask, 24)
@@ -118,31 +121,41 @@ def build_corridor(origin_x, origin_y, pts, mask, cfg: CorridorConfig,
     n_valid = valid.sum()
     ok = n_valid >= 4  # corridor.cc:178-181
 
-    # hull 1 (flipped space) -> map back via indices. The hull vertices
-    # come back compacted into the leading slots, so everything downstream
-    # (hull 2, the dual hull, and their per-lane gathers) runs at the
-    # narrow hull_max width instead of K+1 — exact whenever hull 1 has
-    # <= hull_max vertices, flagged via ok otherwise (measured ~9x on the
-    # corridor stage's dominant cost).
-    _, h1_mask, h1_count, h1_idx = convex_hull_masked(flip, flip_mask,
-                                                      return_indices=True)
+    # hull 1 (flipped space). The ORIGINAL coordinates ride through the
+    # hull's sorts as payload (origin slot carries the origin pose), so no
+    # map-back gather from the [K] seed table is needed; hull vertices come
+    # back compacted into the leading slots, so everything downstream
+    # (hull 2, the dual hull) runs at the narrow hull_max width instead of
+    # K+1 — exact whenever hull 1 has <= hull_max vertices, flagged via ok
+    # otherwise. All index arithmetic below is one-hot select-reduces /
+    # static shifts: per-lane dynamic-index gathers under vmap were the
+    # corridor stage's dominant cost on TPU.
+    o1 = jnp.ones((1,), dtype)
+    pay = (jnp.concatenate([jnp.where(valid, pts[:, 0], 0.0), origin_x * o1]),
+           jnp.concatenate([jnp.where(valid, pts[:, 1], 0.0), origin_y * o1]),
+           jnp.concatenate([jnp.zeros((K,), dtype), o1]))
+    _, h1_mask, h1_count, (vx, vy, org) = convex_hull_masked(
+        flip, flip_mask, payload=pay)
     H = min(cfg.hull_max, K + 1)
     ok = ok & (h1_count <= H)
     h1_mask = h1_mask[:H]
-    h1_idx = h1_idx[:H]
-    is_origin = (h1_idx == K) & h1_mask
-    vx = jnp.where(is_origin, origin_x, pts[jnp.clip(h1_idx, 0, K - 1), 0])
-    vy = jnp.where(is_origin, origin_y, pts[jnp.clip(h1_idx, 0, K - 1), 1])
-    vx = jnp.where(h1_mask, vx, 0.0)
-    vy = jnp.where(h1_mask, vy, 0.0)
+    vx = vx[:H]
+    vy = vy[:H]
+    is_origin = (org[:H] > 0.5) & h1_mask
 
-    # interior point (corridor.cc:200-215)
+    # interior point (corridor.cc:200-215); vx[prev]/vx[nxt] as one-hot
+    # select-reduces over the narrow hull width
     origin_on_hull = is_origin.any()
     opos = jnp.argmax(is_origin)
     prev = jnp.mod(opos - 1, h1_count)
     nxt = jnp.mod(opos + 1, h1_count)
-    ix = (vx[prev] + origin_x + vx[nxt]) / 3.0 - origin_x
-    iy = (vy[prev] + origin_y + vy[nxt]) / 3.0 - origin_y
+    kpos = jnp.arange(H)
+    vx_p = jnp.sum(jnp.where(kpos == prev, vx, 0.0))
+    vy_p = jnp.sum(jnp.where(kpos == prev, vy, 0.0))
+    vx_n = jnp.sum(jnp.where(kpos == nxt, vx, 0.0))
+    vy_n = jnp.sum(jnp.where(kpos == nxt, vy, 0.0))
+    ix = (vx_p + origin_x + vx_n) / 3.0 - origin_x
+    iy = (vy_p + origin_y + vy_n) / 3.0 - origin_y
     d = jnp.sqrt(ix * ix + iy * iy)
     d = jnp.where(d > 0, d, 1.0)
     interior_x = jnp.where(origin_on_hull,
@@ -150,22 +163,21 @@ def build_corridor(origin_x, origin_y, pts, mask, cfg: CorridorConfig,
     interior_y = jnp.where(origin_on_hull,
                            0.99 * safe_radius * iy / d + origin_y, origin_y)
 
-    # hull 2 over the mapped-back vertices (corridor.cc:217-218)
+    # hull 2 over the mapped-back vertices (corridor.cc:217-218); payload =
+    # hull-1 position so the walk order needs no index gather
     vpts = jnp.stack([vx, vy], axis=-1)
-    _, h2_mask, h2_count, h2_idx = convex_hull_masked(vpts, h1_mask,
-                                                      return_indices=True)
-    # h2_idx are positions in hull-1 order; sort ascending = the reference's
-    # incrementing walk order (corridor.cc:221-233)
-    h2_pos = jnp.where(h2_mask, h2_idx, jnp.int32(H + 1))
-    q = jnp.sort(h2_pos)  # valid positions first, ascending
+    h2pts, h2_mask, h2_count, (h2_pos,) = convex_hull_masked(
+        vpts, h1_mask, payload=(kpos.astype(jnp.int32),))
+    # h2_pos are positions in hull-1 order; sort ascending = the reference's
+    # incrementing walk order (corridor.cc:221-233), coordinates carried
+    h2_pos = jnp.where(h2_mask, h2_pos, jnp.int32(H + 1))
+    q, ax, ay = jax.lax.sort((h2_pos, h2pts[:, 0], h2pts[:, 1]), num_keys=1)
 
-    # edge normals between consecutive hull-2 vertices (in walk order)
-    qn = jnp.concatenate([q[1:], q[:1]])
-    qn = jnp.where(jnp.arange(H) == h2_count - 1, q[0], qn)  # wrap last -> first
-    ax = vx[jnp.clip(q, 0, H - 1)]
-    ay = vy[jnp.clip(q, 0, H - 1)]
-    bx = vx[jnp.clip(qn, 0, H - 1)]
-    by = vy[jnp.clip(qn, 0, H - 1)]
+    # edge normals between consecutive hull-2 vertices (in walk order):
+    # next vertex = static shift with wrap at h2_count-1 -> 0
+    wrap = kpos == h2_count - 1
+    bx = jnp.where(wrap, ax[0], jnp.concatenate([ax[1:], ax[:1]]))
+    by = jnp.where(wrap, ay[0], jnp.concatenate([ay[1:], ay[:1]]))
     rayx = bx - ax
     rayy = by - ay
     nlen = jnp.hypot(rayy, rayx)
@@ -174,12 +186,13 @@ def build_corridor(origin_x, origin_y, pts, mask, cfg: CorridorConfig,
     ny_e = -rayx / nlen
 
     # assign each hull-1 vertex position k to the covering hull-2 edge:
-    # j = last q <= k (cyclic; k < q[0] wraps to the last edge)
-    kpos = jnp.arange(H)
-    j = jnp.searchsorted(q[: ], kpos, side="right") - 1
+    # j = last q <= k (cyclic; k < q[0] wraps to the last edge);
+    # searchsorted(right) == count of q <= k since q is ascending
+    j = jnp.sum((q[None, :] <= kpos[:, None]).astype(jnp.int32), axis=1) - 1
     j = jnp.where(j < 0, h2_count - 1, jnp.minimum(j, h2_count - 1))
-    na = nx_e[j]
-    nb = ny_e[j]
+    sel = j[:, None] == kpos[None, :]
+    na = jnp.sum(jnp.where(sel, nx_e[None, :], 0.0), axis=1)
+    nb = jnp.sum(jnp.where(sel, ny_e[None, :], 0.0), axis=1)
     cc = (vx - interior_x) * na + (vy - interior_y) * nb  # offsets (interior-rel)
     cons_mask = h1_mask
 
@@ -189,27 +202,28 @@ def build_corridor(origin_x, origin_y, pts, mask, cfg: CorridorConfig,
     dpy = jnp.where(cons_mask, nb / cc_safe, 0.0)
     dual = jnp.stack([dpx, dpy], axis=-1)
 
-    # dual hull, clockwise (corridor.cc:241-242): CCW hull reversed
+    # dual hull, clockwise (corridor.cc:241-242): CCW hull reversed —
+    # reverse the valid prefix by one-hot select over the narrow width
     dh, dh_mask, dh_count = convex_hull_masked(dual, cons_mask)
-    # reverse valid prefix to clockwise order
-    ridx = jnp.mod(dh_count - 1 - jnp.arange(H), jnp.maximum(dh_count, 1))
-    dhx = jnp.where(dh_mask, dh[jnp.clip(ridx, 0, H - 1), 0], 0.0)
-    dhy = jnp.where(dh_mask, dh[jnp.clip(ridx, 0, H - 1), 1], 0.0)
+    ridx = jnp.mod(dh_count - 1 - kpos, jnp.maximum(dh_count, 1))
+    rsel = ridx[:, None] == kpos[None, :]
+    dhx = jnp.where(dh_mask, jnp.sum(jnp.where(rsel, dh[None, :, 0], 0.0), 1),
+                    0.0)
+    dhy = jnp.where(dh_mask, jnp.sum(jnp.where(rsel, dh[None, :, 1], 0.0), 1),
+                    0.0)
 
-    # polygon vertices (corridor.cc:244-249)
-    nxt_i = jnp.where(jnp.arange(H) == dh_count - 1, 0, jnp.arange(H) + 1)
-    rx2 = dhx[nxt_i] - dhx
-    ry2 = dhy[nxt_i] - dhy
+    # polygon vertices (corridor.cc:244-249); next = static shift + wrap
+    dwrap = kpos == dh_count - 1
+    rx2 = jnp.where(dwrap, dhx[0], jnp.concatenate([dhx[1:], dhx[:1]])) - dhx
+    ry2 = jnp.where(dwrap, dhy[0], jnp.concatenate([dhy[1:], dhy[:1]])) - dhy
     cpoly = ry2 * dhx - rx2 * dhy
     cpoly_safe = jnp.where(jnp.abs(cpoly) > 1e-12, cpoly, 1e-12)
     px = interior_x + ry2 / cpoly_safe
     py = interior_y - rx2 / cpoly_safe
-    poly_mask = dh_mask
 
     # final constraints from polygon edges (corridor.cc:251-261)
-    nxt_p = jnp.where(jnp.arange(H) == dh_count - 1, 0, jnp.arange(H) + 1)
-    rpx = px[nxt_p] - px
-    rpy = py[nxt_p] - py
+    rpx = jnp.where(dwrap, px[0], jnp.concatenate([px[1:], px[:1]])) - px
+    rpy = jnp.where(dwrap, py[0], jnp.concatenate([py[1:], py[:1]])) - py
     a_f = -rpy
     b_f = rpx
     c_f = a_f * px + b_f * py
@@ -217,11 +231,15 @@ def build_corridor(origin_x, origin_y, pts, mask, cfg: CorridorConfig,
 
     KC = max_constraints
     take = jnp.arange(KC)
-    planes_out = jnp.where((take < dh_count)[:, None],
-                           planes[jnp.clip(take, 0, H - 1)], 0.0)
+    keep = (take < dh_count)[:, None]
+    if KC <= H:
+        planes_out = jnp.where(keep, planes[:KC], 0.0)
+        poly_out = jnp.where(keep, jnp.stack([px, py], -1)[:KC], 0.0)
+    else:
+        pad = ((0, KC - H), (0, 0))
+        planes_out = jnp.where(keep, jnp.pad(planes, pad), 0.0)
+        poly_out = jnp.where(keep, jnp.pad(jnp.stack([px, py], -1), pad), 0.0)
     pmask_out = take < dh_count
-    poly_out = jnp.where((take < dh_count)[:, None],
-                         jnp.stack([px, py], -1)[jnp.clip(take, 0, H - 1)], 0.0)
     return planes_out, pmask_out, poly_out, pmask_out, ok
 
 
@@ -279,14 +297,17 @@ def plan_corridors(scn: Scenario, traj: Traj, cfg: CorridorConfig,
     the horizon) + lane constraints (host-precomputed per road, passed in as
     the ``lane`` tuple from lane_constraints())."""
     lp, lsg, lm, rp, rsg, rm = lane
+    from .world import query_dynamic_points_grid
 
-    def one(x, y, theta, time):
+    dyn_all = query_dynamic_points_grid(scn, traj.time)
+
+    def one(x, y, theta, time, dyn_p, dyn_m):
         pts, mask = corridor_seed_points(scn, x, y, theta, time, cfg,
-                                         cfg.max_points)
+                                         cfg.max_points, dyn=(dyn_p, dyn_m))
         return build_corridor(x, y, pts, mask, cfg, cfg.max_constraints)
 
     planes, pmask, polys, polymask, ok = jax.vmap(one)(
-        traj.x, traj.y, traj.theta, traj.time)
+        traj.x, traj.y, traj.theta, traj.time, dyn_all[0], dyn_all[1])
     return CorridorSet(
         planes=planes, plane_mask=pmask, polygons=polys, poly_mask=polymask,
         left_planes=jnp.asarray(lp), left_segs=jnp.asarray(lsg),

@@ -260,25 +260,31 @@ def _chain_membership(sx, sy, valid):
     return lower, upper
 
 
-def convex_hull_masked(pts, mask, eps: float = 0.0, return_indices: bool = False):
+def convex_hull_masked(pts, mask, eps: float = 0.0, return_indices: bool = False,
+                       payload: tuple = ()):
     """Convex hull of a padded point set.
 
     pts:  [K, 2] float array, mask: [K] bool. Returns (hull_pts [K,2],
     hull_mask [K], count) — plus hull indices into ``pts`` when
-    ``return_indices`` — with hull vertices in counter-clockwise order
-    starting from the lexicographically smallest point. Collinear boundary
-    points are dropped (strict turns only), matching cv::convexHull's
-    default output of extreme vertices (corridor.cc:184,218).
+    ``return_indices``, plus a tuple of per-hull-vertex ``payload`` values
+    when payload arrays ([K]) are given — with hull vertices in
+    counter-clockwise order starting from the lexicographically smallest
+    point. Collinear boundary points are dropped (strict turns only),
+    matching cv::convexHull's default output of extreme vertices
+    (corridor.cc:184,218).
 
-    Pure fixed-shape implementation with NO sequential loops: the stack
-    walk of Andrew's monotone chain serializes into ~300 XLA loop steps
-    of per-lane dynamic-index updates when vmapped over knots/scenarios
-    (measured as the corridor stage's dominant cost on TPU); here chain
-    membership is the O(K^2) chord-slope test (_chain_membership) and the
-    output order is one argsort of per-point ranks — everything
-    vectorizes across the vmap lanes at full width. Output convention is
-    identical to the chain walk: lower hull left-to-right (drop the
-    rightmost), then upper hull right-to-left (drop the leftmost).
+    Pure fixed-shape implementation with NO sequential loops and NO
+    dynamic-index gathers: the stack walk of Andrew's monotone chain
+    serializes into ~300 XLA loop steps of per-lane dynamic-index updates
+    when vmapped over knots/scenarios (measured as the corridor stage's
+    dominant cost on TPU); here chain membership is the O(K^2) chord-slope
+    test (_chain_membership) and both orderings are variadic ``lax.sort``
+    calls that carry the coordinates (and any payload) along with the keys
+    — sorts vectorize across vmap lanes at full width while the
+    argsort+gather formulation lowered to per-lane serial gathers. Output
+    convention is identical to the chain walk: lower hull left-to-right
+    (drop the rightmost), then upper hull right-to-left (drop the
+    leftmost).
     """
     K = pts.shape[0]
     big = jnp.asarray(1e30, pts.dtype)
@@ -287,15 +293,16 @@ def convex_hull_masked(pts, mask, eps: float = 0.0, return_indices: bool = False
     # exact duplicates (later occurrence invalidated): the stack walk
     # drops them via zero-cross pops; the slope test needs them gone
     # (0/0 slopes)
-    idx = jnp.arange(K)
+    idx = jnp.arange(K, dtype=jnp.int32)
     same = (px[None, :] == px[:, None]) & (py[None, :] == py[:, None])
     dup = (same & mask[:, None] & (idx[:, None] < idx[None, :])).any(axis=0)
     mask = mask & ~dup
     x = jnp.where(mask, px, big)
     y = jnp.where(mask, py, big)
-    order = jnp.lexsort((y, x)).astype(jnp.int32)
-    sx = x[order]
-    sy = y[order]
+    # lexicographic (x, y) order; invalid points (keys = big) sort last.
+    # Stable variadic sort == lexsort + gathers, in one kernel.
+    sx, sy, order, *spay = jax.lax.sort((x, y, idx) + tuple(payload),
+                                        num_keys=2)
     m = mask.sum()
     q = idx
     valid = q < m
@@ -310,12 +317,17 @@ def convex_hull_masked(pts, mask, eps: float = 0.0, return_indices: bool = False
                            q, bigi)
     upper_rank = jnp.where(upper & (q > 0), 2 * K - q, bigi)
     rank = jnp.minimum(lower_rank, upper_rank)
-    outpos = jnp.argsort(rank)
     count = jnp.sum(rank < bigi)
     hmask = idx < count
-    hx = jnp.where(hmask, sx[outpos], 0.0)
-    hy = jnp.where(hmask, sy[outpos], 0.0)
+    _, hx, hy, oidx, *hpay = jax.lax.sort((rank, sx, sy, order) + tuple(spay),
+                                          num_keys=1)
+    hx = jnp.where(hmask, hx, 0.0)
+    hy = jnp.where(hmask, hy, 0.0)
     hull = jnp.stack([hx, hy], axis=-1)
+    out = (hull, hmask, count)
     if return_indices:
-        return hull, hmask, count, jnp.where(hmask, order[outpos], 0)
-    return hull, hmask, count
+        out = out + (jnp.where(hmask, oidx, 0),)
+    if payload:
+        out = out + (tuple(jnp.where(hmask, p, jnp.zeros_like(p))
+                           for p in hpay),)
+    return out

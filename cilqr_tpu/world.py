@@ -508,3 +508,39 @@ def query_dynamic_points(scn: Scenario, time):
 
     polys, masks = jax.vmap(one)(jnp.arange(KD))
     return polys.reshape(KD * 4, 2), masks.reshape(KD * 4)
+
+
+def query_dynamic_points_grid(scn: Scenario, times):
+    """query_dynamic_points for ALL knot times at once, gather-free.
+
+    The per-knot path does one track-table gather per (knot, obstacle) —
+    per-element gathers under vmap were the corridor seed stage's
+    dominant cost on TPU. Here the upper_bound index is its literal
+    definition #{i: track_time[i] <= q} as a [N,KD,T] compare-reduce
+    (exact for ANY sorted table — no uniformity assumption), and the
+    corner lookup is a one-hot contraction over the track axis (an MXU
+    matmul). Semantics identical to _dyn_polygon_at(eps=K_MATH_EPS),
+    with the padded tail excluded via dyn_len exactly like the clipped
+    guess never reaching it.
+
+    times: [N] -> (points [N, KD*4, 2], mask [N, KD*4])."""
+    KD, T = scn.dyn_times.shape
+    N = times.shape[0]
+    eps = K_MATH_EPS
+    tt = scn.dyn_times[None, :, :]                         # [1,KD,T]
+    q = times[:, None, None]                               # [N,1,1]
+    tvalid = jnp.arange(T)[None, None, :] < scn.dyn_len[None, :, None]
+    cnt = jnp.sum((tt <= q - eps) & tvalid, axis=2)        # [N,KD]
+    L = scn.dyn_len[None, :]
+    idx = jnp.clip(cnt, 0, jnp.maximum(L - 1, 0))
+    onehot = (idx[:, :, None] == jnp.arange(T)[None, None, :]
+              ).astype(scn.dyn_obs.dtype)                  # [N,KD,T]
+    corners = jnp.einsum("nkt,ktc->nkc", onehot,
+                         scn.dyn_obs.reshape(KD, T, 8)).reshape(N, KD, 4, 2)
+    t0 = scn.dyn_times[:, 0][None, :]
+    t_last = jnp.max(jnp.where(tvalid[0], scn.dyn_times,
+                               -jnp.inf), axis=1)[None, :]
+    active = (scn.dyn_mask[None, :] & (t0 <= times[:, None] + eps) &
+              (t_last >= times[:, None] - eps))            # [N,KD]
+    mask = jnp.repeat(active, 4, axis=1)
+    return corners.reshape(N, KD * 4, 2), mask
