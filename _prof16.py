@@ -1,0 +1,31 @@
+import dataclasses, time
+import jax
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+import jax.numpy as jnp
+import numpy as np
+from cilqr_tpu import scenario as SC
+from cilqr_tpu import dp as DP
+from cilqr_tpu.config import PlannerConfig
+
+B = 64
+cfg0 = PlannerConfig()
+cfg = dataclasses.replace(cfg0, dp=dataclasses.replace(cfg0.dp, collision_mode="frenet"))
+dtype = jnp.float32
+scns = SC.make_scenario_batch(range(B), dtype=dtype)
+starts = jnp.tile(jnp.asarray([0.0, 0.0, 0.0, 10.0], dtype), (B, 1))
+spec = SC.analytic_road_spec(dtype=np.float32)
+
+for name, sp in (("table", None), ("analytic", spec)):
+    def dpf(s, st):
+        r = jax.vmap(lambda a, b: DP.plan(a, b[0], b[1], b[2], cfg, None, spec=sp))(s, st)
+        return r.traj.x.sum() + r.min_cost.sum()
+    f = jax.jit(dpf)
+    out = f(scns, starts); jax.block_until_ready(out)
+    ts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        out = f(scns, starts)
+        _ = out.sum().item()
+        ts.append(time.perf_counter() - t0)
+    print(f"dp frenet {name}: {min(ts)*1e3:.1f} ms (B={B})")

@@ -90,6 +90,12 @@ def _pipeline_bench(latency: bool):
             if DP_MODE == "grid" else None)
     lane = pipeline.make_lane_tuple(barriers[1], barriers[2], cfg,
                                     np.float32)
+    # gather-free DP station evaluation from the road recipe (dp.plan spec;
+    # decision-identical to the table path on the qualification seeds,
+    # tests/test_dp.py::test_dp_analytic_vs_table); BENCH_DP_ANALYTIC=0
+    # falls back to packed-row table gathers
+    spec = (scenario.analytic_road_spec(dtype=np.float32)
+            if os.environ.get("BENCH_DP_ANALYTIC", "1") != "0" else None)
     scns = scenario.make_scenario_batch(range(B), dtype=dtype)
     starts = jnp.tile(jnp.asarray([0.0, 0.0, 0.0, 10.0], dtype), (B, 1))
     rng = np.random.default_rng(1)
@@ -98,7 +104,7 @@ def _pipeline_bench(latency: bool):
         @jax.jit
         def step_once(scns, starts, d):
             out = pipeline.plan_batch(scns, starts.at[:, 1].add(d), cfg,
-                                      grid, lane, backend=BACKEND)
+                                      grid, lane, backend=BACKEND, spec=spec)
             return out.solve.us.sum(), out.solve.iters.sum(), out.ok.sum()
 
         jax.block_until_ready(step_once(
@@ -124,7 +130,7 @@ def _pipeline_bench(latency: bool):
     def step_many(scns, starts, deltas):
         def one(d):
             out = pipeline.plan_batch(scns, starts.at[:, 1].add(d), cfg,
-                                      grid, lane, backend=BACKEND)
+                                      grid, lane, backend=BACKEND, spec=spec)
             return out.solve.us.sum(), out.solve.iters.sum(), out.ok.sum()
 
         us_sum, it_sum, ok_sum = jax.lax.map(one, deltas)
@@ -156,7 +162,7 @@ def _pipeline_bench(latency: bool):
 
         def dp_stage(scns, starts):
             return jax.vmap(lambda s, st: dp_mod.plan(
-                s, st[0], st[1], st[2], cfg, grid))(scns, starts)
+                s, st[0], st[1], st[2], cfg, grid, spec=spec))(scns, starts)
 
         def cor_stage(scns, trajs):
             return jax.vmap(lambda s, tr: corridor_mod.plan_corridors(

@@ -23,7 +23,9 @@ import jax
 import jax.numpy as jnp
 
 from .config import DpConfig, PlannerConfig
-from .reference_line import (compute_path_profile, evaluate_station_fields,
+from .reference_line import (DP_FIELDS, compute_path_profile,
+                             evaluate_station_fields,
+                             evaluate_station_fields_analytic,
                              get_projection, pack_station_rows)
 from .types import Scenario, Traj
 from .world import (BarrierGrid, check_optimization_collision, dilate_polys,
@@ -122,8 +124,19 @@ def _segment_cost(cl: Traj, scn: Scenario, grid, cfg: PlannerConfig,
 
 
 def plan(scn: Scenario, start_x, start_y, start_theta,
-         cfg: PlannerConfig, grid: BarrierGrid | None = None) -> DpResult:
-    """DpPlanner::Plan (dp_planner.cpp:135-281)."""
+         cfg: PlannerConfig, grid: BarrierGrid | None = None,
+         spec=None) -> DpResult:
+    """DpPlanner::Plan (dp_planner.cpp:135-281).
+
+    spec: optional scenario.RoadSpec — when given, every station-field
+    lookup inside the DECISION path (probe sweep, lateral offsets,
+    transition costs) evaluates the centerline closed-form instead of
+    gathering table rows (evaluate_station_fields_analytic; the packed-row
+    gathers were the DP stage's dominant cost on TPU). The traceback /
+    81-knot output interpolation stays on the table, so whenever the
+    winning cells agree the output trajectory is bit-identical; decision
+    agreement is qualified on pedestrian_test seeds
+    (tests/test_dp.py::test_dp_analytic_vs_table)."""
     dp = cfg.dp
     NT, NS, NL = dp.nt, dp.ns, dp.nl
     cl = scn.centerline
@@ -146,13 +159,27 @@ def plan(scn: Scenario, start_x, start_y, start_theta,
 
     l_inds = jnp.arange(NL)
 
+    if spec is not None:
+        def eval_f(sv, fields=DP_FIELDS):
+            return evaluate_station_fields_analytic(spec, sv, fields)
+    else:
+        def eval_f(sv, fields=DP_FIELDS):
+            return evaluate_station_fields(cl, sv, fields, packed=packed)
+
+    def lat_off(s, li):
+        # _lateral_offset through eval_f (elementwise, no vmap needed)
+        ref = eval_f(s, ("left_bound", "right_bound"))
+        lb = -ref["right_bound"] + safe_margin
+        ub = ref["left_bound"] - safe_margin
+        frac = li.astype(s.dtype) / (NL - 2)
+        off = lb + (ub - lb) * frac
+        return jnp.where(li == NL - 1, jnp.zeros_like(off), off)
+
     def offsets(svals):
         """[...,] stations -> [..., NL] lateral offsets. One table lookup
         per station for ALL NL laterals (same ops as _lateral_offset
         broadcast over the lateral index)."""
-        ref = evaluate_station_fields(cl, svals,
-                                      ("left_bound", "right_bound"),
-                                      packed=packed)
+        ref = eval_f(svals, ("left_bound", "right_bound"))
         lb = -ref["right_bound"] + safe_margin
         ub = ref["left_bound"] - safe_margin
         frac = l_inds.astype(svals.dtype) / (NL - 2)
@@ -174,7 +201,7 @@ def plan(scn: Scenario, start_x, start_y, start_theta,
     s_dd0, _ = _interp_sl(ps[:, :1], pl[:, :1],
                           jnp.broadcast_to(station[:, None], (NS, 1)),
                           cur_l_l0[:, :1], nseg0)
-    ref0 = evaluate_station_fields(cl, s_dd0, packed=packed)  # [NS, 1, 17]
+    ref0 = eval_f(s_dd0)  # [NS, 1, 17]
     dyn0 = dyn_polys_at(scn, tv0)
     obst0 = _segment_cost(cl, scn, grid, cfg, s_pts, l_pts,
                           ps, pl, None, nseg0, safe_margin, ref=ref0,
@@ -211,8 +238,7 @@ def plan(scn: Scenario, start_x, start_y, start_theta,
         p_sind = parent_s_inds[t].reshape(-1)
         p_lind = parent_l_inds[t].reshape(-1)
         p_l_ind_self = jnp.tile(jnp.arange(NL), NS)       # cell's own l index
-        p_l = jax.vmap(lambda s, li: _lateral_offset(
-            cl, s, li, safe_margin, NL, packed))(p_s, p_l_ind_self)
+        p_l = lat_off(p_s, p_l_ind_self)
 
         # grandparents (dp_planner.cpp:42-53,92-103)
         if t == 0:
@@ -228,8 +254,7 @@ def plan(scn: Scenario, start_x, start_y, start_theta,
             gflat = jnp.clip(p_sind, 0) * NL + jnp.clip(p_lind, 0)  # [P]
             goh = gflat[:, None] == jnp.arange(NS * NL)[None, :]
             gp_s = jnp.sum(jnp.where(goh, prev_flat[None, :], 0.0), axis=1)
-            gp_l = jax.vmap(lambda s, li: _lateral_offset(
-                cl, s, li, safe_margin, NL, packed))(gp_s, p_lind)
+            gp_l = lat_off(gp_s, p_lind)
             gp_lind = p_lind
 
         # prev segment's last point (GetCollisionCost:51-53): interpolate
@@ -286,7 +311,7 @@ def plan(scn: Scenario, start_x, start_y, start_theta,
                 jnp.broadcast_to(cp_l[:, None, None], (chunk, NS, 1)),
                 jnp.broadcast_to(station[None, :, None], (chunk, NS, 1)),
                 ccur_l.reshape(chunk, NS, NL)[:, :, :1], nseg)
-            ref_dd = evaluate_station_fields(cl, s_dd, packed=packed)
+            ref_dd = eval_f(s_dd)
             obst = _segment_cost(
                 cl, scn, grid, cfg, csp, clp,
                 jnp.broadcast_to(clast_s[:, None, None], (chunk, NS, NL)),

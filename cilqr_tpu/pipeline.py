@@ -118,7 +118,7 @@ def plan(scn: Scenario, start, cfg: PlannerConfig,
 
 
 def plan_batch(scns: Scenario, starts, cfg: PlannerConfig, grid, lane,
-               backend: str = "blast") -> PlanOutput:
+               backend: str = "blast", spec=None) -> PlanOutput:
     """Batched full pipeline on device: vmapped DP -> vmapped corridors ->
     constraint prep -> batched CILQR solve.
 
@@ -132,11 +132,13 @@ def plan_batch(scns: Scenario, starts, cfg: PlannerConfig, grid, lane,
     scns:   Scenario pytree with leading batch axis [B] (shared road).
     starts: [B, 4] (x, y, theta, v) start states.
     grid/lane: host-precomputed per road (shared across the batch).
+    spec:   optional scenario.RoadSpec (shared road) — gather-free DP
+            station evaluation (see dp.plan).
     """
     from .batch import solve_batch
 
     def dp_one(scn, st):
-        return dp_mod.plan(scn, st[0], st[1], st[2], cfg, grid)
+        return dp_mod.plan(scn, st[0], st[1], st[2], cfg, grid, spec=spec)
 
     dp_res = jax.vmap(dp_one)(scns, starts)
 

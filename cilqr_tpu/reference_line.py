@@ -235,3 +235,75 @@ def compute_path_profile(dt, xs, ys):
     kappas = (xds * ydds - yds * xdds) / (
         jnp.sqrt(xds * xds + yds * yds) * (xds * xds + yds * yds) + 1e-6)
     return headings, s, speeds, accels, kappas
+
+
+def _analytic_row_fields(spec, i, fields):
+    """Closed-form centerline table row ``i`` from the RoadSpec — the same
+    values generate_center_line wrote into the table (arc rows ARE closed
+    form there; straight x/y and all thetas are step-accumulated, so those
+    reproduce to fp-accumulation noise only). One-hot over the ~7 road
+    segments, pure elementwise — zero table gathers."""
+    dtype = spec.h.dtype
+    i_e = i[..., None]
+    in_seg = (i_e >= spec.row_start) & (i_e < spec.row_start + spec.count)
+    j = (i_e - spec.row_start + 1).astype(dtype)
+
+    def sel(v):
+        return jnp.sum(jnp.where(in_seg, v, 0.0), axis=-1)
+
+    out = {}
+    if "x" in fields or "y" in fields:
+        ang = spec.ang0 + (j - 1.0) * spec.dang
+        if "x" in fields:
+            x_seg = jnp.where(spec.is_arc, spec.xc + spec.radius * jnp.cos(ang),
+                              spec.x0 + j * spec.stepx)
+            out["x"] = sel(x_seg)
+        if "y" in fields:
+            y_seg = jnp.where(spec.is_arc, spec.yc + spec.radius * jnp.sin(ang),
+                              spec.y0 + j * spec.stepy)
+            out["y"] = sel(y_seg)
+    if "theta" in fields:
+        out["theta"] = sel(spec.yaw0 + j * spec.yaw_inc)
+    if "kappa" in fields:
+        k = sel(jnp.where(in_seg, spec.kappa, 0.0))
+        out["kappa"] = jnp.where(i == 0, spec.kappa0, k)
+    if "left_bound" in fields:
+        out["left_bound"] = jnp.full(i.shape, spec.lb, dtype)
+    if "right_bound" in fields:
+        out["right_bound"] = jnp.full(i.shape, spec.rb, dtype)
+    # row 0 is the initial pose (0, 0, theta 0); kappa handled above
+    for f in ("x", "y", "theta"):
+        if f in out:
+            out[f] = jnp.where(i == 0, 0.0, out[f])
+    return out
+
+
+def evaluate_station_fields_analytic(spec, station, fields=DP_FIELDS):
+    """evaluate_station_fields against the closed-form RoadSpec instead of
+    the sampled table: same arithmetic index (uniform grid), same
+    lerp/slerp between the two bracketing rows, but the row values come
+    from _analytic_row_fields — no gathers at all. Row values match the
+    table to fp-accumulation noise, so interpolants (and thus DP
+    decisions) agree except within that noise of a tie; qualified
+    decision-identical on pedestrian_test seeds
+    (tests/test_dp.py::test_dp_analytic_vs_table)."""
+    dtype = spec.h.dtype
+    idx = jnp.clip(jnp.ceil(station / spec.h).astype(jnp.int32), 1,
+                   spec.n - 1)
+    i0 = idx - 1
+    i1 = idx
+    need = tuple(fields)
+    r0 = _analytic_row_fields(spec, i0, need)
+    r1 = _analytic_row_fields(spec, i1, need)
+    k0 = i0.astype(dtype) * spec.h
+    k1 = i1.astype(dtype) * spec.h
+    denom = k1 - k0
+    near = jnp.abs(denom) < 1e-10
+    w = jnp.where(near, 0.0, (station - k0) / jnp.where(near, 1.0, denom))
+    out = {}
+    for f in need:
+        if f == "theta":
+            out[f] = slerp(r0[f], k0, r1[f], k1, jnp.where(near, k0, station))
+        else:
+            out[f] = (1 - w) * r0[f] + w * r1[f]
+    return out

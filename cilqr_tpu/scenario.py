@@ -315,3 +315,100 @@ def make_scenario_batch(seeds, dtype=jnp.float32, **kw):
     scns = [make_scenario(int(s), cl=cl, barriers=barriers, dtype=dtype, **kw)
             for s in seeds]
     return jax.tree.map(lambda *xs: jnp.stack(xs), *scns)
+
+
+class RoadSpec:
+    """Closed-form per-row description of the generated centerline table.
+
+    generate_center_line builds the table row by row from the arc/straight
+    recipe: arc rows are xc + R*cos(ang0 + (j-1)*dang) with theta
+    accumulated in steps of yaw_inc, straight rows step (dx, dy) per row.
+    Every row is therefore reproducible analytically from ~12 scalars per
+    segment — which lets the DP probe sweep evaluate station fields with
+    ZERO table gathers (reference_line.evaluate_station_fields_analytic);
+    the per-probe packed-row gathers were the DP stage's dominant cost on
+    TPU after the frenet collision mode landed.
+
+    Arrays are [NSEG]; ``n`` (total rows) is a static int; bounds are the
+    road's constant left/right widths (reference_publisher.py:25-26)."""
+
+    def __init__(self, row_start, count, is_arc, xc, yc, radius, ang0,
+                 dang, yaw0, yaw_inc, kappa, x0, y0, stepx, stepy,
+                 h, n, lb, rb, kappa0):
+        self.row_start = row_start
+        self.count = count
+        self.is_arc = is_arc
+        self.xc = xc
+        self.yc = yc
+        self.radius = radius
+        self.ang0 = ang0
+        self.dang = dang
+        self.yaw0 = yaw0
+        self.yaw_inc = yaw_inc
+        self.kappa = kappa
+        self.x0 = x0
+        self.y0 = y0
+        self.stepx = stepx
+        self.stepy = stepy
+        self.h = h
+        self.n = n
+        self.lb = lb
+        self.rb = rb
+        self.kappa0 = kappa0
+
+
+def analytic_road_spec(road: Sequence = DEFAULT_ROAD, resolution: float = 0.1,
+                       left_bound: float = LEFT_BOUND,
+                       right_bound: float = RIGHT_BOUND,
+                       dtype=np.float64) -> RoadSpec:
+    """Build the RoadSpec mirroring generate_center_line's bookkeeping
+    (reference_publisher.py:25-75) — same linspace angles, same
+    yaw_inc = angle/point_count accumulation, same floor row counts."""
+    x, y, yaw = 0.0, 0.0, 0.0
+    row = 1
+    segs = []
+    for seg in road:
+        if isinstance(seg, (tuple, list)):
+            degree, radius = seg
+            angle = np.deg2rad(degree)
+            arc_dir = -1.0 if angle < 0 else 1.0
+            arc_length = angle * radius
+            kappa = arc_dir / radius
+            start_angle = yaw - np.pi / 2 * arc_dir
+            end_angle = start_angle + angle
+            center_yaw = yaw + np.pi / 2 * arc_dir
+            xc = x + radius * np.cos(center_yaw)
+            yc = y + radius * np.sin(center_yaw)
+            pc = int(np.floor(np.abs(arc_length) / resolution))
+            segs.append(dict(row_start=row, count=pc, is_arc=True, xc=xc,
+                             yc=yc, radius=radius, ang0=start_angle,
+                             dang=angle / (pc - 1), yaw0=yaw,
+                             yaw_inc=angle / pc, kappa=kappa, x0=x, y0=y,
+                             stepx=0.0, stepy=0.0))
+            x = xc + radius * np.cos(end_angle)
+            y = yc + radius * np.sin(end_angle)
+            yaw += pc * (angle / pc)
+            row += pc
+        else:
+            nrow = int(seg / resolution)
+            segs.append(dict(row_start=row, count=nrow, is_arc=False,
+                             xc=0.0, yc=0.0, radius=0.0, ang0=0.0, dang=0.0,
+                             yaw0=yaw, yaw_inc=0.0, kappa=0.0, x0=x, y0=y,
+                             stepx=resolution * np.cos(yaw),
+                             stepy=resolution * np.sin(yaw)))
+            x += nrow * resolution * np.cos(yaw)
+            y += nrow * resolution * np.sin(yaw)
+            row += nrow
+
+    def col(k, dt=dtype):
+        return jnp.asarray(np.asarray([s[k] for s in segs]), dt)
+
+    return RoadSpec(
+        row_start=col("row_start", np.int32), count=col("count", np.int32),
+        is_arc=jnp.asarray(np.asarray([s["is_arc"] for s in segs])),
+        xc=col("xc"), yc=col("yc"), radius=col("radius"), ang0=col("ang0"),
+        dang=col("dang"), yaw0=col("yaw0"), yaw_inc=col("yaw_inc"),
+        kappa=col("kappa"), x0=col("x0"), y0=col("y0"), stepx=col("stepx"),
+        stepy=col("stepy"), h=jnp.asarray(resolution, dtype), n=row,
+        lb=jnp.asarray(left_bound, dtype), rb=jnp.asarray(right_bound, dtype),
+        kappa0=jnp.asarray(segs[0]["kappa"], dtype))

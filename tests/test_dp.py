@@ -163,3 +163,28 @@ def test_dp_jit_compiles(empty_scn):
     f = jax.jit(lambda s, x, y, th: DP.plan(s, x, y, th, CFG, _grid(empty_scn)))
     res = f(empty_scn, 0.0, 0.0, 0.0)
     assert res.traj.x.shape == (81,)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 6])
+def test_dp_analytic_vs_table(seed):
+    """The gather-free analytic station evaluation (scenario.RoadSpec +
+    reference_line.evaluate_station_fields_analytic, the TPU bench
+    default) must reproduce the table path's winning cells — and then,
+    because the traceback/output interpolation stays on the table, the
+    coarse trajectory bit-exactly. Closed-form rows differ from the
+    step-accumulated table rows only by fp-accumulation noise
+    (generate_center_line, reference_publisher.py:25-75), so any
+    disagreement means a decision sat within that noise of a tie.
+    Qualified 12/12 seeds in f64 AND f32 at authoring time
+    (_qual_analytic.py)."""
+    cfg_f = dataclasses.replace(
+        CFG, dp=dataclasses.replace(CFG.dp, collision_mode="frenet"))
+    spec = SC.analytic_road_spec()
+    scn = SC.make_scenario(seed=seed, dtype=jnp.float64)
+    want = DP.plan(scn, 0.0, 0.0, 0.0, cfg_f, None)
+    got = DP.plan(scn, 0.0, 0.0, 0.0, cfg_f, None, spec=spec)
+    assert np.array_equal(np.asarray(got.sel_s), np.asarray(want.sel_s))
+    assert np.array_equal(np.asarray(got.sel_l), np.asarray(want.sel_l))
+    assert np.array_equal(np.asarray(got.traj.x), np.asarray(want.traj.x))
+    assert np.array_equal(np.asarray(got.traj.y), np.asarray(want.traj.y))
+    assert float(got.min_cost) == float(want.min_cost)
