@@ -21,6 +21,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .config import DpConfig, PlannerConfig
 from .reference_line import (DP_FIELDS, compute_path_profile,
@@ -160,6 +161,28 @@ def plan(scn: Scenario, start_x, start_y, start_theta,
     l_inds = jnp.arange(NL)
 
     if spec is not None:
+        # the spec must describe THIS scenario's road: a mismatched spec
+        # (different road / resolution) silently yields wrong DP decisions.
+        # Static check always; value spot-check when inputs are concrete
+        # (skipped under jit tracing, where the same arrays were validated
+        # eagerly at least once by any non-jit caller or test).
+        if int(spec.n) != int(cl.s.shape[0]):
+            raise ValueError(
+                f"RoadSpec.n={int(spec.n)} != centerline rows "
+                f"{int(cl.s.shape[0])}: spec built for a different road")
+        if not isinstance(cl.x, jax.core.Tracer):
+            probe_s = jnp.asarray(
+                np.linspace(0.0, float(cl.s[-1]), 7)[1:-1], dtype)
+            ref_a = evaluate_station_fields_analytic(spec, probe_s, ("x", "y"))
+            ref_t = evaluate_station_fields(cl, probe_s, ("x", "y"),
+                                            packed=packed)
+            err = max(float(jnp.abs(ref_a["x"] - ref_t["x"]).max()),
+                      float(jnp.abs(ref_a["y"] - ref_t["y"]).max()))
+            if err > 1e-3:
+                raise ValueError(
+                    f"RoadSpec disagrees with scenario centerline by "
+                    f"{err:.3g} m at spot stations: spec/road mismatch")
+
         def eval_f(sv, fields=DP_FIELDS):
             return evaluate_station_fields_analytic(spec, sv, fields)
     else:

@@ -380,6 +380,14 @@ def analytic_road_spec(road: Sequence = DEFAULT_ROAD, resolution: float = 0.1,
             xc = x + radius * np.cos(center_yaw)
             yc = y + radius * np.sin(center_yaw)
             pc = int(np.floor(np.abs(arc_length) / resolution))
+            if pc < 2:
+                # an arc shorter than 2*resolution contributes <=1 row;
+                # angle/(pc-1) would be inf/NaN and generate_center_line's
+                # linspace handles pc<=1 without a step — mirror that
+                raise ValueError(
+                    f"arc segment {seg} yields {pc} centerline rows "
+                    f"(< 2 at resolution {resolution}); analytic_road_spec "
+                    "requires arcs spanning at least 2 rows")
             segs.append(dict(row_start=row, count=pc, is_arc=True, xc=xc,
                              yc=yc, radius=radius, ang0=start_angle,
                              dang=angle / (pc - 1), yaw0=yaw,

@@ -533,10 +533,15 @@ def query_dynamic_points_grid(scn: Scenario, times):
     cnt = jnp.sum((tt <= q - eps) & tvalid, axis=2)        # [N,KD]
     L = scn.dyn_len[None, :]
     idx = jnp.clip(cnt, 0, jnp.maximum(L - 1, 0))
-    onehot = (idx[:, :, None] == jnp.arange(T)[None, None, :]
-              ).astype(scn.dyn_obs.dtype)                  # [N,KD,T]
-    corners = jnp.einsum("nkt,ktc->nkc", onehot,
-                         scn.dyn_obs.reshape(KD, T, 8)).reshape(N, KD, 4, 2)
+    onehot = idx[:, :, None] == jnp.arange(T)[None, None, :]  # [N,KD,T]
+    # one-hot select as a masked sum, NOT a dot_general: on TPU an f32
+    # einsum routes through the MXU, which rounds operands to bfloat16 and
+    # would quantize ~100-200 m corner coordinates by up to ~0.4 m. The
+    # where+sum lowers to exact f32 VPU select/reduce.
+    corners = jnp.sum(
+        jnp.where(onehot[:, :, :, None],
+                  scn.dyn_obs.reshape(1, KD, T, 8), 0.0),
+        axis=2).reshape(N, KD, 4, 2)
     t0 = scn.dyn_times[:, 0][None, :]
     t_last = jnp.max(jnp.where(tvalid[0], scn.dyn_times,
                                -jnp.inf), axis=1)[None, :]

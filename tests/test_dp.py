@@ -165,8 +165,10 @@ def test_dp_jit_compiles(empty_scn):
     assert res.traj.x.shape == (81,)
 
 
+@pytest.mark.parametrize("dtype", [jnp.float64, jnp.float32],
+                         ids=["f64", "f32"])
 @pytest.mark.parametrize("seed", [0, 1, 2, 3, 6])
-def test_dp_analytic_vs_table(seed):
+def test_dp_analytic_vs_table(seed, dtype):
     """The gather-free analytic station evaluation (scenario.RoadSpec +
     reference_line.evaluate_station_fields_analytic, the TPU bench
     default) must reproduce the table path's winning cells — and then,
@@ -174,13 +176,14 @@ def test_dp_analytic_vs_table(seed):
     coarse trajectory bit-exactly. Closed-form rows differ from the
     step-accumulated table rows only by fp-accumulation noise
     (generate_center_line, reference_publisher.py:25-75), so any
-    disagreement means a decision sat within that noise of a tie.
-    Qualified 12/12 seeds in f64 AND f32 at authoring time
-    (_qual_analytic.py)."""
+    disagreement means a decision sat within that noise of a tie. The f32
+    parametrization gates the precision the TPU bench actually runs
+    (accumulation noise is much larger there)."""
     cfg_f = dataclasses.replace(
         CFG, dp=dataclasses.replace(CFG.dp, collision_mode="frenet"))
-    spec = SC.analytic_road_spec()
-    scn = SC.make_scenario(seed=seed, dtype=jnp.float64)
+    np_dt = np.float64 if dtype == jnp.float64 else np.float32
+    spec = SC.analytic_road_spec(dtype=np_dt)
+    scn = SC.make_scenario(seed=seed, dtype=dtype)
     want = DP.plan(scn, 0.0, 0.0, 0.0, cfg_f, None)
     got = DP.plan(scn, 0.0, 0.0, 0.0, cfg_f, None, spec=spec)
     assert np.array_equal(np.asarray(got.sel_s), np.asarray(want.sel_s))
