@@ -68,7 +68,7 @@ def _interp_sl(parent_s, parent_l, station, cur_l, nseg):
 
 def _segment_cost(cl: Traj, scn: Scenario, grid, cfg: PlannerConfig,
                   s_pts, l_pts, last_s, last_l, dyn_polys, nseg,
-                  safe_margin, ref=None, dilated=None):
+                  safe_margin, ref=None, dilated=None, spec=None):
     """Collision/bounds sweep over one interpolated (s,l) segment
     (GetCollisionCost, dp_planner.cpp:39-85). All arguments batched over
     leading dims; s_pts/l_pts have a trailing [nseg] axis.
@@ -109,16 +109,19 @@ def _segment_cost(cl: Traj, scn: Scenario, grid, cfg: PlannerConfig,
         (dl / ds) / (1.0 - ref["kappa"] * l_pts))
 
     frenet = None
-    if dp.collision_mode == "frenet":
+    if dp.collision_mode == "frenet" and spec is None:
         # zero-gather barrier membership from fields already evaluated at
         # the probe stations (see world.barrier_hit_frenet); entries
-        # broadcast over the NL child laterals exactly like ref
+        # broadcast over the NL child laterals exactly like ref. With a
+        # RoadSpec the finite-extent test is used instead (safe on
+        # tight-arc roads; see world.barrier_hit_road_spec).
         frenet = (ref["x"], ref["y"], ref["theta"], ref["kappa"],
                   ref["left_bound"], ref["right_bound"])
     collide = check_optimization_collision(
         scn, None, cx, cy, heading, veh.radius, veh.r2x, veh.f2x,
         collision_buffer=0.0, grid=grid, mode=dp.collision_mode,
-        dyn_polys=dyn_polys, dilated=dilated, frenet=frenet)
+        dyn_polys=dyn_polys, dilated=dilated, frenet=frenet,
+        road_spec=spec if dp.collision_mode == "frenet" else None)
 
     any_bad = (off_road | collide).any(axis=-1)
     return jnp.where(any_bad, dp.w_obstacle, 0.0)
@@ -133,11 +136,14 @@ def plan(scn: Scenario, start_x, start_y, start_theta,
     lookup inside the DECISION path (probe sweep, lateral offsets,
     transition costs) evaluates the centerline closed-form instead of
     gathering table rows (evaluate_station_fields_analytic; the packed-row
-    gathers were the DP stage's dominant cost on TPU). The traceback /
-    81-knot output interpolation stays on the table, so whenever the
-    winning cells agree the output trajectory is bit-identical; decision
-    agreement is qualified on pedestrian_test seeds
-    (tests/test_dp.py::test_dp_analytic_vs_table)."""
+    gathers were the DP stage's dominant cost on TPU), and frenet-mode
+    road-barrier probes use the finite-extent per-segment test
+    (world.barrier_hit_road_spec — conservative-complete on every road
+    family, unlike the spec-less station-field stand-in, which is unsafe
+    on tight-arc roads). The traceback / 81-knot output interpolation
+    stays on the table, so whenever the winning cells agree the output
+    trajectory is bit-identical to exact mode's. Qualified over 16 seeds
+    x {f64, f32} x two road families in tests/test_dp_qualification.py."""
     dp = cfg.dp
     NT, NS, NL = dp.nt, dp.ns, dp.nl
     cl = scn.centerline
@@ -230,7 +236,7 @@ def plan(scn: Scenario, start_x, start_y, start_theta,
                           ps, pl, None, nseg0, safe_margin, ref=ref0,
                           dilated=(sd, dilate_polys(
                               dyn0[0], dyn0[1][..., None],
-                              cfg.vehicle.radius)))
+                              cfg.vehicle.radius)), spec=spec)
 
     cur_l = cur_l_l0                               # [NS, NL]
     ds1 = jnp.broadcast_to(station[:, None], (NS, NL))
@@ -339,7 +345,8 @@ def plan(scn: Scenario, start_x, start_y, start_theta,
                 cl, scn, grid, cfg, csp, clp,
                 jnp.broadcast_to(clast_s[:, None, None], (chunk, NS, NL)),
                 jnp.broadcast_to(clast_l[:, None, None], (chunk, NS, NL)),
-                None, nseg, safe_margin, ref=ref_dd, dilated=(sd, dd_l))
+                None, nseg, safe_margin, ref=ref_dd, dilated=(sd, dd_l),
+                spec=spec)
             return obst.reshape(chunk, Cn)
 
         if n_chunks == 1:

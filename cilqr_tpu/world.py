@@ -377,6 +377,121 @@ def barrier_hit_frenet(h, cx, cy, rx, ry, theta_ref, kappa,
     return one_side(left_bound) | one_side(-right_bound)
 
 
+def barrier_hit_road_spec(h, cx, cy, spec, pad=0.05):
+    """Finite-extent road-barrier membership from the closed-form road
+    recipe (frenet mode + scenario.RoadSpec) — fixes the infinite-extent
+    test's blind spots.
+
+    barrier_hit_frenet extends the segment in effect at the probe's
+    STATION across the whole box span, so a box near an arc joint is
+    tested against the wrong tail (an infinite line where the actual
+    boundary curves away) and can MISS real barrier points — measured
+    unsafe on the 5 m S-curve road (tests/test_dp_qualification.py).
+    Here the box is tested against every road segment's boundary as a
+    FINITE curve instead:
+
+    - straights: exact box-vs-finite-segment (line-parameter interval
+      clipped to the sampled extent);
+    - arcs: box-vs-ring (exact) AND'ed with a conservative angular-span
+      overlap test (the box's angular hull as seen from the arc center,
+      bounded via its enclosing circle — algebraic, no per-probe
+      transcendentals). When the lateral offset crosses the arc center
+      (dir*u > R, the hairpin inside boundary) the boundary points sit at
+      the REFLECTED angle phi+pi; the span is rotated accordingly.
+
+    Extents are extended by one row step at each end and padded by
+    ``pad`` (default 5 cm), which covers the sampled barrier points'
+    deviation from the ideal curves (row-0 start sample, joint chords,
+    lerped-theta offsets — measured max 0.1 m at the start row, p99.9
+    under 6 mm): the test is conservative-COMPLETE with respect to the
+    0.1 m-sampled barrier points (pinned per road family by
+    test_dp_qualification.py::test_road_spec_test_covers_all_barrier_points)
+    and over-reports only within the pad + curve-vs-sampling slack.
+    NSEG (~5-7) segments x 2 sides of pure elementwise work per probe;
+    zero table access."""
+    dtype = cx.dtype
+    hp = h + pad
+    cxe = cx[..., None]                               # [..., NSEG]
+    cye = cy[..., None]
+    res = spec.h
+    cntm1 = (spec.count - 1).astype(dtype)
+    curved = spec.is_arc
+    ksafe = jnp.where(curved, spec.kappa, 1.0)
+    sgn = jnp.sign(ksafe)
+    inv = 1.0 / ksafe
+
+    # straights: line through P0 with unit direction (dirx, diry)
+    dirx = spec.stepx / res
+    diry = spec.stepy / res
+    seg_len = cntm1 * res
+    t_lo = -res                                       # one row step each end
+    t_hi = seg_len + res
+
+    # arcs: full angular span (cnt-1)*dang == the segment's turn angle
+    span = cntm1 * spec.dang
+    hw = jnp.minimum(jnp.abs(span) / 2 + jnp.abs(spec.dang), jnp.pi)
+    chw = jnp.cos(hw)
+    shw = jnp.sin(hw)
+    r_enc = hp * jnp.sqrt(jnp.asarray(2.0, dtype))    # box enclosing circle
+
+    def one_side(u):
+        # straight boundary segment: P0 = first row + u * normal
+        p0x = spec.x0 + spec.stepx - u * diry
+        p0y = spec.y0 + spec.stepy + u * dirx
+        dx = p0x - cxe
+        dy = p0y - cye
+        big = jnp.asarray(1e9, dtype)
+
+        def axis_interval(dv, a):
+            small = jnp.abs(a) < 1e-6
+            asafe = jnp.where(small, 1.0, a)
+            p = (-hp - dv) / asafe
+            q = (hp - dv) / asafe
+            ok0 = jnp.abs(dv) <= hp
+            lo = jnp.where(small, jnp.where(ok0, -big, big),
+                           jnp.minimum(p, q))
+            hi = jnp.where(small, jnp.where(ok0, big, -big),
+                           jnp.maximum(p, q))
+            return lo, hi
+
+        lo1, hi1 = axis_interval(dx, dirx)
+        lo2, hi2 = axis_interval(dy, diry)
+        hit_line = (jnp.maximum(jnp.maximum(lo1, lo2), t_lo) <=
+                    jnp.minimum(jnp.minimum(hi1, hi2), t_hi))
+
+        # arc boundary: radius |inv - u| around (xc, yc); reflected span
+        # when the offset crosses the center (hairpin inside boundary)
+        rbnd = jnp.abs(inv - u)
+        refl = jnp.where(sgn * (inv - u) < 0, jnp.pi, 0.0)
+        mid = spec.ang0 + refl + span / 2
+        cmid = jnp.cos(mid)
+        smid = jnp.sin(mid)
+        adx = cxe - spec.xc
+        ady = cye - spec.yc
+        addx = jnp.abs(adx)
+        addy = jnp.abs(ady)
+        dmin = jnp.hypot(jnp.maximum(addx - hp, 0.0),
+                         jnp.maximum(addy - hp, 0.0))
+        dmax = jnp.hypot(addx + hp, addy + hp)
+        ring = (dmin <= rbnd) & (rbnd <= dmax)
+        # angular overlap |normalize(theta_c - mid)| <= hw + hh with
+        # hh = asin(r_enc / d) (box angular half-extent bound), evaluated
+        # algebraically: proj = d*cos(theta_c - mid),
+        # d*cos(hw+hh) = chw*sqrt(d^2-r^2) - shw*min(d, r)
+        d2 = adx * adx + ady * ady
+        d = jnp.sqrt(d2)
+        proj = adx * cmid + ady * smid
+        dchh = jnp.sqrt(jnp.maximum(d2 - r_enc * r_enc, 0.0))
+        dshh = jnp.minimum(d, r_enc)
+        inside = d2 <= r_enc * r_enc
+        fullspan = (hw >= jnp.pi) | (chw * d <= -dchh)
+        ang = inside | fullspan | (proj >= chw * dchh - shw * dshh)
+        hit_arc = ring & ang
+        return jnp.where(curved, hit_arc, hit_line)
+
+    return (one_side(spec.lb) | one_side(-spec.rb)).any(axis=-1)
+
+
 def check_optimization_collision(scn: Scenario, time, x, y, theta,
                                  veh_radius, r2x, f2x,
                                  collision_buffer=0.0,
@@ -384,7 +499,8 @@ def check_optimization_collision(scn: Scenario, time, x, y, theta,
                                  mode: str = "grid",
                                  dyn_polys=None,
                                  dilated=None,
-                                 frenet=None):
+                                 frenet=None,
+                                 road_spec=None):
     """Two-disc collision probe (Environment::CheckOptimizationCollision,
     environment.cpp:92-112): axis-aligned boxes of half-size radius+buffer
     at the front/rear disc centers, tested against static polygons, road
@@ -403,11 +519,17 @@ def check_optimization_collision(scn: Scenario, time, x, y, theta,
     tests (same separating-axes predicate; see DilatedPolys). The dynamic
     entry requires the trailing-time-axis convention like dyn_polys.
 
-    frenet: required when mode == "frenet" — a tuple (rx, ry, theta_ref,
-    kappa, left_bound, right_bound) of the centerline point and station
-    fields at each probe's station (entries broadcast against x/y/theta);
-    the road-barrier part of each disc test then uses barrier_hit_frenet
-    instead of any table gather."""
+    frenet: required when mode == "frenet" and road_spec is None — a
+    tuple (rx, ry, theta_ref, kappa, left_bound, right_bound) of the
+    centerline point and station fields at each probe's station (entries
+    broadcast against x/y/theta); the road-barrier part of each disc test
+    then uses barrier_hit_frenet instead of any table gather.
+
+    road_spec: optional scenario.RoadSpec — when given with
+    mode == "frenet", the road-barrier part uses the finite-extent
+    barrier_hit_road_spec test instead (conservative-complete on every
+    road family; the station-field stand-in is unsafe on tight-arc
+    roads — see barrier_hit_road_spec)."""
     half = veh_radius + collision_buffer
     ct = jnp.cos(theta)
     st = jnp.sin(theta)
@@ -435,10 +557,13 @@ def check_optimization_collision(scn: Scenario, time, x, y, theta,
                                                  maxx, maxy)
                 hit = hit | (cnt > 0)
         elif mode == "frenet":
-            assert frenet is not None
-            frx, fry, fth, fkap, flb, frb = frenet
-            hit = hit | barrier_hit_frenet(half, cx, cy, frx, fry,
-                                           fth, fkap, flb, frb)
+            if road_spec is not None:
+                hit = hit | barrier_hit_road_spec(half, cx, cy, road_spec)
+            else:
+                assert frenet is not None
+                frx, fry, fth, fkap, flb, frb = frenet
+                hit = hit | barrier_hit_frenet(half, cx, cy, frx, fry,
+                                               fth, fkap, flb, frb)
         else:
             cnt = barrier_points_in_box_exact(scn.barrier_xy, scn.barrier_mask,
                                               minx, miny, maxx, maxy)

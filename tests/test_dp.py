@@ -165,29 +165,7 @@ def test_dp_jit_compiles(empty_scn):
     assert res.traj.x.shape == (81,)
 
 
-@pytest.mark.parametrize("dtype", [jnp.float64, jnp.float32],
-                         ids=["f64", "f32"])
-@pytest.mark.parametrize("seed", [0, 1, 2, 3, 6])
-def test_dp_analytic_vs_table(seed, dtype):
-    """The gather-free analytic station evaluation (scenario.RoadSpec +
-    reference_line.evaluate_station_fields_analytic, the TPU bench
-    default) must reproduce the table path's winning cells — and then,
-    because the traceback/output interpolation stays on the table, the
-    coarse trajectory bit-exactly. Closed-form rows differ from the
-    step-accumulated table rows only by fp-accumulation noise
-    (generate_center_line, reference_publisher.py:25-75), so any
-    disagreement means a decision sat within that noise of a tie. The f32
-    parametrization gates the precision the TPU bench actually runs
-    (accumulation noise is much larger there)."""
-    cfg_f = dataclasses.replace(
-        CFG, dp=dataclasses.replace(CFG.dp, collision_mode="frenet"))
-    np_dt = np.float64 if dtype == jnp.float64 else np.float32
-    spec = SC.analytic_road_spec(dtype=np_dt)
-    scn = SC.make_scenario(seed=seed, dtype=dtype)
-    want = DP.plan(scn, 0.0, 0.0, 0.0, cfg_f, None)
-    got = DP.plan(scn, 0.0, 0.0, 0.0, cfg_f, None, spec=spec)
-    assert np.array_equal(np.asarray(got.sel_s), np.asarray(want.sel_s))
-    assert np.array_equal(np.asarray(got.sel_l), np.asarray(want.sel_l))
-    assert np.array_equal(np.asarray(got.traj.x), np.asarray(want.traj.x))
-    assert np.array_equal(np.asarray(got.traj.y), np.asarray(want.traj.y))
-    assert float(got.min_cost) == float(want.min_cost)
+# The analytic-spec fast path (frenet + RoadSpec, the TPU bench default)
+# is qualified against EXACT mode over 16 seeds x {f64, f32} x two road
+# families in tests/test_dp_qualification.py (winning cells + bit-exact
+# trajectory + conservative-divergence gates).
