@@ -238,15 +238,18 @@ def _mpc_bench():
 
     cl = scenario.make_centerline()
     barriers = scenario.build_road_barriers(cl)
-    grid = world.build_barrier_grid(barriers[0], cfg.dp.grid_cell,
-                                    half=cfg.vehicle.radius)
+    grid = (world.build_barrier_grid(barriers[0], cfg.dp.grid_cell,
+                                     half=cfg.vehicle.radius)
+            if cfg.dp.collision_mode == "grid" else None)
     lane = pipeline.make_lane_tuple(barriers[1], barriers[2], cfg,
                                     np.float32)
+    spec = (scenario.analytic_road_spec(dtype=np.float32)
+            if cfg.dp.collision_mode == "frenet" else None)
     scns = scenario.make_scenario_batch(range(B), dtype=dtype)
     starts = jnp.tile(jnp.asarray([0.0, 0.0, 0.0, 10.0], dtype), (B, 1))
 
     out0 = jax.jit(lambda s, st: pipeline.plan_batch(
-        s, st, cfg, grid, lane, backend=BACKEND))(scns, starts)
+        s, st, cfg, grid, lane, backend=BACKEND, spec=spec))(scns, starts)
     jax.block_until_ready(out0.solve.xs)
     cold_iters = float(out0.solve.iters.mean())
 

@@ -246,13 +246,18 @@ class DpConfig:
     w_lateral_velocity_change: float = 1.0
     w_longitudinal_velocity_bias: float = 10.0
     w_longitudinal_velocity_change: float = 1.0
-    # road-barrier membership mode for DP probes: 'grid' (dilated
-    # occupancy table, one gather/probe — conservative on the 0.1 m cell
-    # lattice), 'frenet' (zero-gather closed-form boundary test, ~4x
-    # faster DP on TPU since per-probe gathers are latency-bound — see
-    # world.barrier_hit_frenet for its approximations), or 'exact' (brute
-    # force over all barrier points; used by the parity oracle).
-    collision_mode: str = "grid"
+    # road-barrier membership mode for DP probes: 'frenet' (default —
+    # zero-gather closed-form boundary test, ~4x faster DP on TPU since
+    # per-probe gathers are latency-bound; with a RoadSpec it uses the
+    # finite-extent per-segment test, conservative-complete on every road
+    # family — ALWAYS pass dp.plan/pipeline.plan the spec when the road
+    # recipe is known, because the spec-less station-field stand-in
+    # under-reports on tight-arc roads, see world.barrier_hit_road_spec
+    # and tests/test_dp_qualification.py), 'grid' (dilated occupancy
+    # table, one gather/probe — conservative on the 0.1 m cell lattice),
+    # or 'exact' (brute force over all barrier points; the parity
+    # oracle's mode). The default matches the benched configuration.
+    collision_mode: str = "frenet"
     grid_cell: float = 0.1
     # parents processed per lax.map step in the transition collision sweep
     # (memory vs parallelism). With the dynamic obstacles hoisted out of

@@ -90,7 +90,7 @@ def sharded_solve_step(cfg: PlannerConfig, mesh: Mesh,
 
 
 def sharded_pipeline_step(cfg: PlannerConfig, mesh: Mesh, grid, lane,
-                          backend: str = "blast"):
+                          backend: str = "blast", road_spec=None):
     """Full-pipeline sharded step: each device runs the batched pipeline
     (pipeline.plan_batch: vmapped DP -> vmapped corridors -> batch-last
     CILQR solve with compaction) on its scenario shard; psum stats over
@@ -104,7 +104,7 @@ def sharded_pipeline_step(cfg: PlannerConfig, mesh: Mesh, grid, lane,
 
     def _local(scns, starts):
         out = pipeline_mod.plan_batch(scns, starts, cfg, grid, lane,
-                                      backend=backend)
+                                      backend=backend, spec=road_spec)
         stats = device_metrics(out.solve)
         stats["dp_ok"] = out.dp_ok.sum().astype(jnp.float32)
         stats["ok"] = out.ok.sum().astype(jnp.float32)

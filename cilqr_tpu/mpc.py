@@ -107,7 +107,7 @@ def mpc_step_batch(scns: Scenario, carry: MpcCarry, cfg: PlannerConfig,
 
 
 def run_mpc(scn: Scenario, start, cfg: PlannerConfig, n_cycles: int,
-            grid=None, lane=None):
+            grid=None, lane=None, spec=None):
     """Initial full plan + n_cycles warm-started replans. Returns the list
     of MpcStepOut (host loop; each cycle jitted); entry 0 wraps the initial
     plan with its own corridor validity."""
@@ -122,7 +122,7 @@ def run_mpc(scn: Scenario, start, cfg: PlannerConfig, n_cycles: int,
         lane = pipeline_mod.make_lane_tuple(scn.left_barrier_xy,
                                             scn.right_barrier_xy, cfg)
 
-    out0 = pipeline_mod.plan(scn, start, cfg, grid, lane)
+    out0 = pipeline_mod.plan(scn, start, cfg, grid, lane, spec=spec)
     carry = MpcCarry(xs=out0.solve.xs, us=out0.solve.us,
                      cycle_time=jnp.zeros((), out0.solve.xs.dtype))
     step = jax.jit(lambda c: mpc_step(scn, c, cfg, grid, lane))

@@ -83,12 +83,18 @@ def _init_guess_warm_start(cfg: PlannerConfig, start_state, coarse: Traj):
 
 
 def plan(scn: Scenario, start, cfg: PlannerConfig,
-         grid: BarrierGrid | None = None, lane=None) -> PlanOutput:
+         grid: BarrierGrid | None = None, lane=None,
+         spec=None) -> PlanOutput:
     """TrajectoryPlanner::Plan (trajectory_planner.cpp:28-162).
 
     start: (x, y, theta, v) — the reference's fixed StartState is
     (0, 0, 0, 10) (planning_node.cc:24-27). grid/lane are host-precomputed
     per road; built on the fly if omitted (not jit-compatible then).
+
+    spec: optional scenario.RoadSpec — gather-free DP station evaluation
+    plus the finite-extent frenet barrier test (see dp.plan). Pass it
+    whenever the road recipe is known: the spec-less frenet fallback is
+    qualified on the default road family only.
     """
     if grid is None and cfg.dp.collision_mode == "grid":
         grid = build_barrier_grid(np.asarray(scn.barrier_xy), cfg.dp.grid_cell,
@@ -97,7 +103,7 @@ def plan(scn: Scenario, start, cfg: PlannerConfig,
         lane = make_lane_tuple(scn.left_barrier_xy, scn.right_barrier_xy, cfg)
 
     sx, sy, sth, sv = start
-    dp_res = dp_mod.plan(scn, sx, sy, sth, cfg, grid)
+    dp_res = dp_mod.plan(scn, sx, sy, sth, cfg, grid, spec=spec)
     cors = corridor_mod.plan_corridors(scn, dp_res.traj, cfg.corridor, lane)
 
     cons = costs_mod.shrink_and_normalize(
@@ -164,10 +170,10 @@ def plan_batch(scns: Scenario, starts, cfg: PlannerConfig, grid, lane,
                       solve=res, ok=ok)
 
 
-def plan_jit(cfg: PlannerConfig):
+def plan_jit(cfg: PlannerConfig, spec=None):
     """A jit-compiled planner closure over static config. grid/lane must be
     passed explicitly (device arrays / pytrees)."""
     def _plan(scn, start, grid, lane):
-        return plan(scn, start, cfg, grid, lane)
+        return plan(scn, start, cfg, grid, lane, spec=spec)
 
     return jax.jit(_plan)

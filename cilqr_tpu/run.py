@@ -112,6 +112,13 @@ def main(argv=None):
     dtype = jnp.float64 if args.f64 else jnp.float32
     start = (0.0, 0.0, 0.0, 10.0)
     cfg = _load_config(args.config)
+    # the CLI always plans on the generated pedestrian_test road, so the
+    # closed-form RoadSpec is always available — pass it through so the
+    # frenet DP mode runs its finite-extent (safe-everywhere) barrier
+    # test and the gather-free station evaluation (dp.plan)
+    np_dt = np.float64 if args.f64 else np.float32
+    spec = (scenario.analytic_road_spec(dtype=np_dt)
+            if cfg.dp.collision_mode == "frenet" else None)
 
     if args.cmd == "scenario":
         from . import checkpoint
@@ -124,7 +131,7 @@ def main(argv=None):
     if args.cmd == "plan":
         scn = scenario.make_scenario(args.seed, dtype=dtype)
         t0 = time.perf_counter()
-        out = pipeline.plan(scn, start, cfg)
+        out = pipeline.plan(scn, start, cfg, spec=spec)
         jax.block_until_ready(out.solve.us)
         dt_ms = (time.perf_counter() - t0) * 1e3
         print(f"dp_ok={bool(out.dp_ok)} corridors_ok={bool(out.corridors.ok.all())} "
@@ -177,7 +184,8 @@ def main(argv=None):
         @jax.jit
         def run(scns):
             return jax.vmap(
-                lambda s: pipeline.plan(s, start, cfg, grid, lane))(scns)
+                lambda s: pipeline.plan(s, start, cfg, grid, lane,
+                                        spec=spec))(scns)
 
         t0 = time.perf_counter()
         out = run(scns)
@@ -200,13 +208,14 @@ def main(argv=None):
         scns = scenario.make_scenario_batch(
             range(args.seed, args.seed + B), dtype=dtype)
         scn0 = jax.tree.map(lambda a: a[0], scns)
-        grid = build_barrier_grid(np.asarray(scn0.barrier_xy),
-                                  cfg.dp.grid_cell)
+        grid = (build_barrier_grid(np.asarray(scn0.barrier_xy),
+                                   cfg.dp.grid_cell)
+                if cfg.dp.collision_mode == "grid" else None)
         lane = pipeline.make_lane_tuple(scn0.left_barrier_xy,
                                         scn0.right_barrier_xy, cfg)
         starts = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 0.0, 10.0], dtype),
                                   (B, 4))
-        step = sharded_pipeline_step(cfg, mesh, grid, lane)
+        step = sharded_pipeline_step(cfg, mesh, grid, lane, road_spec=spec)
         scns, starts = shard_batch(mesh, (scns, starts))
         t0 = time.perf_counter()
         out, stats = step(scns, starts)
@@ -222,7 +231,7 @@ def main(argv=None):
 
         scn = scenario.make_scenario(args.seed, dtype=dtype)
         t0 = time.perf_counter()
-        results = run_mpc(scn, start, cfg, args.cycles)
+        results = run_mpc(scn, start, cfg, args.cycles, spec=spec)
         wall = time.perf_counter() - t0
         statuses = [SolverStatus(int(r.solve.status)).name for r in results]
         iters = [int(r.solve.iters) for r in results]
