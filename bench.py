@@ -257,10 +257,11 @@ def _mpc_bench():
     def roll(scns, xs, us):
         carry = mpc.MpcCarry(xs=xs, us=us,
                              cycle_time=jnp.zeros((xs.shape[0],), dtype))
-        final, (status, iters, cost, cor_ok) = mpc.mpc_scan_batch(
+        final, (status, iters, cost, cor_ok, clipped) = mpc.mpc_scan_batch(
             scns, carry, cfg, lane, CYCLES, backend=BACKEND)
         return (final.xs.sum(), iters.sum(),
-                iters.astype(jnp.float32).mean(), cor_ok.all())
+                iters.astype(jnp.float32).mean(), cor_ok.all(),
+                clipped.sum())
 
     out = roll(scns, out0.solve.xs, out0.solve.us)
     jax.block_until_ready(out)
@@ -273,7 +274,8 @@ def _mpc_bench():
         times.append(time.perf_counter() - t0)
     rate = B * CYCLES / min(times)
     print(f"warm-start iters/cycle: {warm_iters:.2f} vs cold "
-          f"{cold_iters:.2f}; corridors ok: {bool(out[3])}",
+          f"{cold_iters:.2f}; corridors ok: {bool(out[3])}; "
+          f"lane windows clipped: {int(out[4])}/{B * CYCLES}",
           file=sys.stderr)
     print(json.dumps({
         "metric": "mpc_replan_cycles_per_s_per_chip",

@@ -230,6 +230,12 @@ def build_corridor(origin_x, origin_y, pts, mask, cfg: CorridorConfig,
     planes = jnp.stack([a_f, b_f, c_f], axis=-1)
 
     KC = max_constraints
+    # a final polygon with more than KC edges would be silently truncated
+    # below — dropping half-planes makes the "safe" corridor LESS
+    # constrained than computed (unsafe direction), so flag it like the
+    # hull_max overflow (the reference's dynamic vectors have no cap,
+    # corridor.cc:251-261; tests/test_corridor.py pins the flag)
+    ok = ok & (dh_count <= KC)
     take = jnp.arange(KC)
     keep = (take < dh_count)[:, None]
     if KC <= H:

@@ -37,6 +37,23 @@ class MpcStepOut(NamedTuple):
     # failure modes: <4 flip points / empty inputs) and the cycle's output
     # must not be trusted by the caller
     corridor_ok: jnp.ndarray
+    # the solver's windowed lane-segment search clipped at a window edge
+    # this cycle (SolveResult.lane_clipped): MPC is exactly the drift
+    # scenario the guard exists for — the window is built from the shifted
+    # GOALS, and a warm-started rollout can wander past it, silently
+    # selecting a wrong nearest lane segment. False when the solver ran
+    # with the full scan (no window). Surfaced per cycle so a clipped
+    # window in cycle k is visible at the API instead of vanishing inside
+    # the scan carry.
+    lane_clipped: jnp.ndarray
+
+
+def _lane_clipped_of(res: SolveResult):
+    """SolveResult.lane_clipped, or all-False when the backend ran a full
+    lane scan (lane_clipped is None there — nothing to clip)."""
+    if res.lane_clipped is None:
+        return jnp.zeros(res.iters.shape, bool)
+    return res.lane_clipped
 
 
 def _shift_plan(xs, us):
@@ -68,7 +85,8 @@ def mpc_step(scn: Scenario, carry: MpcCarry, cfg: PlannerConfig,
     start_state = goals[0]
     res = solver_mod.solve(goals, start_state, cons, cfg.ilqr, cfg.vehicle,
                            cfg.delta_t, warm_start=(goals, warm_us))
-    out = MpcStepOut(solve=res, corridor_ok=cors.ok.all())
+    out = MpcStepOut(solve=res, corridor_ok=cors.ok.all(),
+                     lane_clipped=_lane_clipped_of(res))
     return MpcCarry(xs=res.xs, us=res.us, cycle_time=t_new), out
 
 
@@ -102,7 +120,8 @@ def mpc_step_batch(scns: Scenario, carry: MpcCarry, cfg: PlannerConfig,
     res = solve_batch(goals, goals[:, 0], cons, cfg.ilqr, cfg.vehicle,
                       cfg.delta_t, warm_start=(goals, warm_us),
                       backend=backend)
-    out = MpcStepOut(solve=res, corridor_ok=cors.ok.all(axis=-1))
+    out = MpcStepOut(solve=res, corridor_ok=cors.ok.all(axis=-1),
+                     lane_clipped=_lane_clipped_of(res))
     return MpcCarry(xs=res.xs, us=res.us, cycle_time=t_new), out
 
 
@@ -127,7 +146,8 @@ def run_mpc(scn: Scenario, start, cfg: PlannerConfig, n_cycles: int,
                      cycle_time=jnp.zeros((), out0.solve.xs.dtype))
     step = jax.jit(lambda c: mpc_step(scn, c, cfg, grid, lane))
     results = [MpcStepOut(solve=out0.solve,
-                          corridor_ok=out0.corridors.ok.all())]
+                          corridor_ok=out0.corridors.ok.all(),
+                          lane_clipped=_lane_clipped_of(out0.solve))]
     for _ in range(n_cycles):
         carry, out = step(carry)
         results.append(out)
@@ -141,7 +161,8 @@ def mpc_scan(scn: Scenario, carry: MpcCarry, cfg: PlannerConfig, grid, lane,
     def body(c, _):
         c2, out = mpc_step(scn, c, cfg, grid, lane)
         return c2, (out.solve.status, out.solve.iters,
-                    out.solve.cost.total, out.corridor_ok)
+                    out.solve.cost.total, out.corridor_ok,
+                    out.lane_clipped)
 
     return jax.lax.scan(body, carry, None, length=n_cycles)
 
@@ -150,10 +171,11 @@ def mpc_scan_batch(scns: Scenario, carry: MpcCarry, cfg: PlannerConfig,
                    lane, n_cycles: int, backend: str = "blast"):
     """Fully-jitted BATCHED MPC rollout: n_cycles of mpc_step_batch.
     Returns (final carry, stacked [C, B] (status, iters, cost,
-    corridor_ok)) — the BENCH_MODE=mpc workload."""
+    corridor_ok, lane_clipped)) — the BENCH_MODE=mpc workload."""
     def body(c, _):
         c2, out = mpc_step_batch(scns, c, cfg, lane, backend=backend)
         return c2, (out.solve.status, out.solve.iters,
-                    out.solve.cost.total, out.corridor_ok)
+                    out.solve.cost.total, out.corridor_ok,
+                    out.lane_clipped)
 
     return jax.lax.scan(body, carry, None, length=n_cycles)

@@ -136,9 +136,41 @@ def test_mpc_warm_start_converges_faster():
         assert int(hit.sum()) <= 20, (
             f"cycle {cycle}: {int(hit.sum())} colliding knots "
             f"{np.nonzero(hit)[0].tolist()}")
+        # the drift guard must be visible at the API every cycle (and
+        # stay clean on this healthy rollout)
+        assert not bool(np.asarray(r.lane_clipped).any()), f"cycle {cycle}"
     # warm-started cycles should need no more iterations than the cold solve
     assert np.mean([int(r.solve.iters) for r in results[1:]]) \
         <= int(results[0].solve.iters) + 5
+
+
+def test_mpc_blast_rollout_lane_window_stays_clean():
+    """8-cycle blast-backend MPC rollout (the BENCH_MODE=mpc
+    configuration): the windowed lane-segment search must never clip at a
+    window edge. MPC is the drift scenario the lane_clipped guard exists
+    for — each cycle's window is built from the SHIFTED GOALS, so a
+    warm-started rollout that wanders would silently select a wrong
+    nearest segment; mpc_scan_batch now surfaces the flag per (cycle,
+    lane) instead of losing it in the scan carry."""
+    from cilqr_tpu import mpc, pipeline, scenario
+
+    cfg = PlannerConfig()
+    seeds = [1, 5]
+    scns = scenario.make_scenario_batch(seeds, dtype=jnp.float64)
+    scn0 = jax.tree.map(lambda a: a[0], scns)
+    lane = pipeline.make_lane_tuple(scn0.left_barrier_xy,
+                                    scn0.right_barrier_xy, cfg)
+    spec = scenario.analytic_road_spec()
+    starts = jnp.tile(jnp.asarray([0.0, 0.0, 0.0, 10.0], jnp.float64), (2, 1))
+    out0 = pipeline.plan_batch(scns, starts, cfg, None, lane, spec=spec)
+    carry = mpc.MpcCarry(xs=out0.solve.xs, us=out0.solve.us,
+                         cycle_time=jnp.zeros((2,), jnp.float64))
+    _, (status, iters, cost, cor_ok, clipped) = mpc.mpc_scan_batch(
+        scns, carry, cfg, lane, n_cycles=8, backend="blast")
+    assert clipped.shape == (8, 2)
+    assert (np.asarray(status) != SolverStatus.RUNNING).all()
+    assert np.asarray(cor_ok).all()
+    assert not np.asarray(clipped).any(), np.nonzero(np.asarray(clipped))
 
 
 def test_mpc_step_batch_matches_single():

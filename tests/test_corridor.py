@@ -210,3 +210,43 @@ def test_multiple_sample_seed_points():
     pl = np.asarray(planes)[np.asarray(pmask)]
     # pose strictly inside every half-plane a*x + b*y <= c
     assert np.all(pl[:, 0] * 5.0 + pl[:, 1] * 0.0 <= pl[:, 2] + 1e-9)
+
+
+def test_hull_max_overflow_flags_not_silently_truncates():
+    """build_corridor truncates the hull-1 vertex set to
+    CorridorConfig.hull_max=32 and must flag ok=False when hull 1
+    actually exceeds that (corridor.py compacted-width optimization; the
+    reference's dynamic std::vector has no such limit, corridor.cc:184).
+    Seed cloud: N points on a circle around the origin — the sphere flip
+    maps them onto another circle, so ALL of them are hull-1 vertices."""
+    def circle(n, r=8.0):
+        ang = np.linspace(0.0, 2 * np.pi, n, endpoint=False)
+        return np.stack([r * np.cos(ang), r * np.sin(ang)], axis=-1)
+
+    # overflow case: 40 hull-1 vertices > hull_max=32 -> flagged
+    pts40 = circle(40)
+    _, _, ok40 = _device_corridor((0.0, 0.0), pts40)
+    assert not ok40, "hull_max overflow must flag ok=False"
+    # independent witness that hull 1 genuinely has > hull_max vertices
+    # (the flag fires for a real overflow, not spuriously): scipy hull of
+    # the flipped cloud
+    d = pts40
+    n = np.hypot(d[:, 0], d[:, 1])
+    flip = d + 2 * (CFG.radius - n)[:, None] * d / n[:, None]
+    flip = np.concatenate([flip, np.zeros((1, 2))])
+    assert len(ConvexHull(flip).vertices) > CFG.hull_max
+
+    # 30 points fit hull_max=32 but yield a 30-edge final polygon >
+    # max_constraints=24: the plane-cap overflow must ALSO flag (dropping
+    # half-planes silently would make the corridor less constrained than
+    # computed)
+    _, _, ok30 = _device_corridor((0.0, 0.0), circle(30))
+    assert not ok30, "max_constraints overflow must flag ok=False"
+
+    # control below every cap: 20 points pass and match the oracle
+    pts20 = circle(20)
+    got_planes, got_poly, ok20 = _device_corridor((0.0, 0.0), pts20)
+    assert ok20
+    want_planes, want_poly, _ = oracle_corridor((0.0, 0.0), pts20)
+    np.testing.assert_allclose(_norm_planes(got_planes),
+                               _norm_planes(want_planes), atol=1e-8)
