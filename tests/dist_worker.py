@@ -27,6 +27,7 @@ def main():
     ap.add_argument("--nproc", type=int, required=True)
     ap.add_argument("--pid", type=int, required=True)
     ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--mode", choices=["solve", "pipeline"], default="solve")
     args = ap.parse_args()
 
     import jax
@@ -34,30 +35,64 @@ def main():
     # the container pins an 'axon' TPU plugin; force CPU before any
     # backend init (env JAX_PLATFORMS is ignored, see tests/conftest.py)
     jax.config.update("jax_platforms", "cpu")
+    # share the suite's persistent compile cache (the pipeline program is
+    # a large while-loop graph; cold compiles dominate otherwise)
+    cache = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
     from cilqr_tpu.dist import (global_batch, init_distributed,
-                                make_batch_mesh, sharded_solve_step)
+                                make_batch_mesh, sharded_pipeline_step,
+                                sharded_solve_step)
 
     init_distributed(args.coordinator, args.nproc, args.pid)
     assert jax.process_count() == args.nproc, jax.process_count()
 
     import jax.numpy as jnp
 
-    from __graft_entry__ import _synthetic_problem
-
     mesh = make_batch_mesh()  # global mesh: all processes' devices
     n_dev = len(jax.devices())
-
-    cfg, goals, starts, cons = _synthetic_problem(
-        batch=args.batch, n_knots=21, dtype=jnp.float32)
     lo = args.pid * args.batch // args.nproc
     hi = (args.pid + 1) * args.batch // args.nproc
-    local = jax.tree.map(lambda a: a[lo:hi], (goals, starts, cons))
-    g_goals, g_starts, g_cons = global_batch(mesh, local)
 
-    step = sharded_solve_step(cfg, mesh)
-    res, stats = step(g_goals, g_starts, g_cons)
-    jax.block_until_ready(stats)
+    if args.mode == "pipeline":
+        # the FULL replan pipeline (DP -> corridor -> prep -> blast solve)
+        # on real pedestrian_test scenario tensors, 81 knots, sharded over
+        # the 2-process mesh — the headline-metric program, not the
+        # solve-only slice
+        jax.config.update("jax_enable_x64", True)
+        import numpy as np
+
+        from cilqr_tpu import pipeline, scenario
+        from cilqr_tpu.config import PlannerConfig
+
+        cfg = PlannerConfig()
+        scns = scenario.make_scenario_batch(range(args.batch),
+                                            dtype=jnp.float64)
+        scn0 = jax.tree.map(lambda a: a[0], scns)
+        lane = pipeline.make_lane_tuple(scn0.left_barrier_xy,
+                                        scn0.right_barrier_xy, cfg)
+        spec = scenario.analytic_road_spec()
+        starts = jnp.tile(jnp.asarray([0.0, 0.0, 0.0, 10.0], jnp.float64),
+                          (args.batch, 1))
+        local = jax.tree.map(lambda a: a[lo:hi], (scns, starts))
+        g_scns, g_starts = global_batch(mesh, local)
+        step = sharded_pipeline_step(cfg, mesh, None, lane, road_spec=spec)
+        out, stats = step(g_scns, g_starts)
+        jax.block_until_ready(stats)
+    else:
+        from __graft_entry__ import _synthetic_problem
+
+        cfg, goals, starts, cons = _synthetic_problem(
+            batch=args.batch, n_knots=21, dtype=jnp.float32)
+        local = jax.tree.map(lambda a: a[lo:hi], (goals, starts, cons))
+        g_goals, g_starts, g_cons = global_batch(mesh, local)
+
+        step = sharded_solve_step(cfg, mesh)
+        res, stats = step(g_goals, g_starts, g_cons)
+        jax.block_until_ready(stats)
 
     if jax.process_index() == 0:
         out = {k: float(v) for k, v in stats.items()}

@@ -23,9 +23,7 @@ def _free_port():
     return port
 
 
-def test_two_process_distributed_solve_matches_single_process():
-    nproc = 2
-    B = 16
+def _run_workers(nproc, B, mode):
     env = dict(os.environ)
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
     coordinator = f"localhost:{_free_port()}"
@@ -34,7 +32,7 @@ def test_two_process_distributed_solve_matches_single_process():
         subprocess.Popen(
             [sys.executable, os.path.join(HERE, "dist_worker.py"),
              "--coordinator", coordinator, "--nproc", str(nproc),
-             "--pid", str(pid), "--batch", str(B)],
+             "--pid", str(pid), "--batch", str(B), "--mode", mode],
             env=env, cwd=os.path.dirname(HERE),
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
         for pid in range(nproc)
@@ -53,7 +51,13 @@ def test_two_process_distributed_solve_matches_single_process():
 
     lines = [l for l in outs[0].splitlines() if l.startswith("STATS ")]
     assert lines, "\n".join(outs)
-    stats = json.loads(lines[-1][len("STATS "):])
+    return json.loads(lines[-1][len("STATS "):])
+
+
+def test_two_process_distributed_solve_matches_single_process():
+    nproc = 2
+    B = 16
+    stats = _run_workers(nproc, B, "solve")
     assert stats["n_processes"] == nproc
     assert stats["n_devices"] == 8  # 2 processes x 4 virtual devices
 
@@ -75,3 +79,52 @@ def test_two_process_distributed_solve_matches_single_process():
     assert stats["iters_sum"] == want["iters_sum"]
     np.testing.assert_allclose(stats["cost_sum"], want["cost_sum"],
                                rtol=1e-4)
+
+
+def test_two_process_distributed_pipeline_matches_single_process():
+    """The headline-metric program — the FULL replan pipeline (DP ->
+    corridor -> prep -> blast solve, real pedestrian_test scenarios, 81
+    knots) — executed across a real 2-process jax.distributed mesh, each
+    process contributing its own scenario shard; the psum-reduced global
+    stats must match a single-process plan_batch of the identical batch
+    (f64: per-lane decisions are width-independent there, see
+    test_batch_dist.py's single-process sharded-vs-unsharded gate)."""
+    nproc = 2
+    B = 8
+    stats = _run_workers(nproc, B, "pipeline")
+    assert stats["n_processes"] == nproc
+    assert stats["n_devices"] == 8
+
+    import jax
+    import jax.numpy as jnp
+
+    from cilqr_tpu import pipeline, scenario
+    from cilqr_tpu.batch import device_metrics
+    from cilqr_tpu.config import PlannerConfig
+
+    cfg = PlannerConfig()
+    scns = scenario.make_scenario_batch(range(B), dtype=jnp.float64)
+    scn0 = jax.tree.map(lambda a: a[0], scns)
+    lane = pipeline.make_lane_tuple(scn0.left_barrier_xy,
+                                    scn0.right_barrier_xy, cfg)
+    spec = scenario.analytic_road_spec()
+    starts = jnp.tile(jnp.asarray([0.0, 0.0, 0.0, 10.0], jnp.float64),
+                      (B, 1))
+    out = pipeline.plan_batch(scns, starts, cfg, None, lane, spec=spec)
+    want = {k: float(v) for k, v in device_metrics(out.solve).items()}
+    want["dp_ok"] = float(out.dp_ok.sum())
+    want["ok"] = float(out.ok.sum())
+
+    assert stats["n"] == want["n"] == B
+    assert stats["converged"] == want["converged"] == B
+    assert stats["ok"] == want["ok"] == B
+    assert stats["dp_ok"] == want["dp_ok"] == B
+    # per-lane decisions are width-independent in POSITION but not WIDTH:
+    # the 2-process mesh solves at per-device width 1 vs the reference's
+    # width 8, and threshold-chaotic lanes can fork (docs/PERF.md "fp
+    # sensitivity"; cf. test_batch_dist's 2-lane allowance). Bound the
+    # aggregate drift rather than pinning bitwise sums.
+    assert abs(stats["iters_sum"] - want["iters_sum"]) <= 30, (
+        stats["iters_sum"], want["iters_sum"])
+    np.testing.assert_allclose(stats["cost_sum"], want["cost_sum"],
+                               rtol=1e-2)
