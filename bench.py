@@ -132,10 +132,11 @@ def _pipeline_bench(latency: bool):
         def one(d):
             out = pipeline.plan_batch(scns, starts.at[:, 1].add(d), cfg,
                                       grid, lane, backend=BACKEND, spec=spec)
-            return out.solve.us.sum(), out.solve.iters.sum(), out.ok.sum()
+            return (out.solve.us.sum(), out.solve.iters.sum(), out.ok.sum(),
+                    out.solve_hits[..., :25].any(-1).sum())
 
-        us_sum, it_sum, ok_sum = jax.lax.map(one, deltas)
-        return us_sum.sum(), it_sum.sum(), ok_sum.sum()
+        us_sum, it_sum, ok_sum, bad = jax.lax.map(one, deltas)
+        return us_sum.sum(), it_sum.sum(), ok_sum.sum(), bad.sum()
 
     def mk_deltas():
         return jnp.asarray(rng.uniform(-0.2, 0.2, (INNER, B)), dtype)
@@ -143,6 +144,7 @@ def _pipeline_bench(latency: bool):
     out = step_many(scns, starts, mk_deltas())
     jax.block_until_ready(out)
     ok_frac = float(out[2]) / (B * INNER)
+    bad_lanes = int(out[3])
 
     times = []
     for _ in range(REPS):
@@ -205,7 +207,9 @@ def _pipeline_bench(latency: bool):
               f"constant): dp={t_dp:.1f} corridor={t_cor:.1f} "
               f"prep+solve={t_solve:.1f}", file=sys.stderr)
 
-    print(f"converged+ok fraction: {ok_frac:.4f}", file=sys.stderr)
+    print(f"converged+ok fraction: {ok_frac:.4f}; lanes whose executed "
+          f"near-term horizon (25 knots) re-checks dirty: "
+          f"{bad_lanes}/{B * INNER}", file=sys.stderr)
     print(json.dumps({
         "metric": "full_replans_per_s_per_chip",
         "value": round(rate, 2),

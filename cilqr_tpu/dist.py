@@ -108,6 +108,9 @@ def sharded_pipeline_step(cfg: PlannerConfig, mesh: Mesh, grid, lane,
         stats = device_metrics(out.solve)
         stats["dp_ok"] = out.dp_ok.sum().astype(jnp.float32)
         stats["ok"] = out.ok.sum().astype(jnp.float32)
+        # executed-horizon safety: lanes whose first 25 knots re-check dirty
+        stats["near_hit_lanes"] = (
+            out.solve_hits[..., :25].any(-1).sum().astype(jnp.float32))
         stats = {k: jax.lax.psum(v, "batch") for k, v in stats.items()}
         return out, stats
 

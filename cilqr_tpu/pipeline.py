@@ -30,6 +30,18 @@ class PlanOutput(NamedTuple):
     corridors: CorridorSet
     solve: SolveResult
     ok: jnp.ndarray  # dp_ok & all corridor knots ok
+    # collision re-check of the OPTIMIZED trajectory: per-knot [.., N]
+    # bool — does the knot's two-disc probe hit an obstacle / road
+    # barrier (world.check_optimization_collision at the knots' absolute
+    # times)? The reference never re-checks its output
+    # (trajectory_planner.cpp:91-94 only tests non-emptiness). Measured
+    # behavior (tests/test_pipeline_f32_gate.py, docs/PERF.md): hits are
+    # confined to the FAR tail (knot >= ~30) in both precisions — the
+    # rel-cost stop legitimately leaves residual barrier violations 3+ s
+    # out, replanned away before execution — while the EXECUTED near-term
+    # horizon stays clean. Callers gate the horizon they actually
+    # execute, e.g. solve_hits[..., :25].any().
+    solve_hits: jnp.ndarray = None
 
 
 def coarse_to_states(traj: Traj) -> jnp.ndarray:
@@ -62,6 +74,21 @@ def make_lane_tuple(scn_left_barrier, scn_right_barrier, cfg: PlannerConfig,
     return corridor_mod.lane_constraints(
         np.asarray(scn_left_barrier), np.asarray(scn_right_barrier),
         cfg.corridor, dtype)
+
+
+def _recheck_solution(scn: Scenario, xs, cfg: PlannerConfig, spec):
+    """Per-knot collision mask of one optimized trajectory (PlanOutput.
+    solve_hits): two-disc probe at each knot's absolute time, finite
+    road-spec barrier test when the spec is known, brute-force exact
+    otherwise. ~81 probes — noise next to the solve."""
+    from . import world
+
+    n = xs.shape[0]
+    times = cfg.delta_t * jnp.arange(n, dtype=xs.dtype)
+    return world.check_optimization_collision(
+        scn, times, xs[:, 0], xs[:, 1], xs[:, 2], cfg.vehicle.radius,
+        cfg.vehicle.r2x, cfg.vehicle.f2x, collision_buffer=0.0, grid=None,
+        mode="frenet" if spec is not None else "exact", road_spec=spec)
 
 
 def _init_guess_warm_start(cfg: PlannerConfig, start_state, coarse: Traj):
@@ -119,8 +146,9 @@ def plan(scn: Scenario, start, cfg: PlannerConfig,
     res = solver_mod.solve(goals, start_state, cons, cfg.ilqr, cfg.vehicle,
                            cfg.delta_t, warm_start=warm)
     ok = dp_res.ok & cors.ok.all()
+    hits = _recheck_solution(scn, res.xs, cfg, spec)
     return PlanOutput(coarse=dp_res.traj, dp_ok=dp_res.ok, corridors=cors,
-                      solve=res, ok=ok)
+                      solve=res, ok=ok, solve_hits=hits)
 
 
 def plan_batch(scns: Scenario, starts, cfg: PlannerConfig, grid, lane,
@@ -166,8 +194,10 @@ def plan_batch(scns: Scenario, starts, cfg: PlannerConfig, grid, lane,
     res = solve_batch(goals, start_state, cons, cfg.ilqr, cfg.vehicle,
                       cfg.delta_t, backend=backend, warm_start=warm)
     ok = dp_res.ok & cors.ok.all(axis=-1)
+    hits = jax.vmap(lambda s, x: _recheck_solution(s, x, cfg, spec))(
+        scns, res.xs)
     return PlanOutput(coarse=dp_res.traj, dp_ok=dp_res.ok, corridors=cors,
-                      solve=res, ok=ok)
+                      solve=res, ok=ok, solve_hits=hits)
 
 
 def plan_jit(cfg: PlannerConfig, spec=None):
