@@ -162,7 +162,7 @@ def plan(scn: Scenario, start_x, start_y, start_theta,
     # of a SAT tensor) — see pack_station_rows / DilatedPolys
     packed = pack_station_rows(cl)
     sd = dilate_polys(scn.static_obs, scn.static_mask[:, None],
-                      cfg.vehicle.radius)
+                      cfg.vehicle.radius, rect=True)
 
     l_inds = jnp.arange(NL)
 
@@ -236,7 +236,7 @@ def plan(scn: Scenario, start_x, start_y, start_theta,
                           ps, pl, None, nseg0, safe_margin, ref=ref0,
                           dilated=(sd, dilate_polys(
                               dyn0[0], dyn0[1][..., None],
-                              cfg.vehicle.radius)), spec=spec)
+                              cfg.vehicle.radius, rect=True)), spec=spec)
 
     cur_l = cur_l_l0                               # [NS, NL]
     ds1 = jnp.broadcast_to(station[:, None], (NS, NL))
@@ -316,7 +316,7 @@ def plan(scn: Scenario, start_x, start_y, start_theta,
         tv = times[t] + jnp.arange(nseg, dtype=dtype) * (unit_time / nseg)
         dyn_l = dyn_polys_at(scn, tv)   # fixed per layer (see _segment_cost)
         dd_l = dilate_polys(dyn_l[0], dyn_l[1][..., None],
-                            cfg.vehicle.radius)
+                            cfg.vehicle.radius, rect=True)
         chunk = max(1, min(dp.parent_chunk, P))
         n_chunks = -(-P // chunk)
         pad = n_chunks * chunk - P

@@ -85,10 +85,15 @@ def _recheck_solution(scn: Scenario, xs, cfg: PlannerConfig, spec):
 
     n = xs.shape[0]
     times = cfg.delta_t * jnp.arange(n, dtype=xs.dtype)
+    # knot times are fixed: resolve the dynamic obstacles once per
+    # scenario instead of per-(knot, obstacle) track gathers (the same
+    # hoist the DP probe sweep uses — per-element gathers are the poison)
+    dyn = world.dyn_polys_at(scn, times)
     return world.check_optimization_collision(
-        scn, times, xs[:, 0], xs[:, 1], xs[:, 2], cfg.vehicle.radius,
+        scn, None, xs[:, 0], xs[:, 1], xs[:, 2], cfg.vehicle.radius,
         cfg.vehicle.r2x, cfg.vehicle.f2x, collision_buffer=0.0, grid=None,
-        mode="frenet" if spec is not None else "exact", road_spec=spec)
+        mode="frenet" if spec is not None else "exact", road_spec=spec,
+        dyn_polys=dyn)
 
 
 def _init_guess_warm_start(cfg: PlannerConfig, start_state, coarse: Traj):

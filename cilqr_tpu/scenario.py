@@ -40,7 +40,7 @@ N_DYNAMIC_VEHICLES = 3
 
 # Padded tensor sizes.
 MAX_STATIC = 4
-MAX_DYNAMIC = 12
+MAX_DYNAMIC = N_PEDESTRIANS + N_DYNAMIC_VEHICLES  # exact slot count for the default workload
 MAX_DYN_SAMPLES = 256  # >= 161 vehicle samples and >= longest ped crossing
 
 
@@ -255,10 +255,14 @@ def make_scenario(seed: int, road=DEFAULT_ROAD, n_static=N_STATIC,
     vt, vc, vl = (sample_dynamic_vehicles(rng, cl, n_dyn_veh) if n_dyn_veh
                   else empty_dyn)
 
-    dyn_times = np.zeros((MAX_DYNAMIC, MAX_DYN_SAMPLES))
-    dyn_obs = np.zeros((MAX_DYNAMIC, MAX_DYN_SAMPLES, 4, 2))
-    dyn_len = np.zeros((MAX_DYNAMIC,), np.int32)
-    dyn_mask = np.zeros((MAX_DYNAMIC,), bool)
+    # pad to EXACTLY the requested dynamic count (shapes are static per
+    # batch; a loose ceiling here used to waste 25% of the DP collision
+    # sweep's dominant per-probe cost on all-padded slots)
+    n_dyn_slots = max(n_ped + n_dyn_veh, 1)
+    dyn_times = np.zeros((n_dyn_slots, MAX_DYN_SAMPLES))
+    dyn_obs = np.zeros((n_dyn_slots, MAX_DYN_SAMPLES, 4, 2))
+    dyn_len = np.zeros((n_dyn_slots,), np.int32)
+    dyn_mask = np.zeros((n_dyn_slots,), bool)
 
     k = 0
     for times, corners, lens in ((pt, pc, pl), (vt, vc, vl)):

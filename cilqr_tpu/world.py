@@ -271,12 +271,20 @@ class DilatedPolys(NamedTuple):
     valid: jnp.ndarray  # [...] bool
 
 
-def dilate_polys(polys, mask, half) -> DilatedPolys:
+def dilate_polys(polys, mask, half, rect: bool = False) -> DilatedPolys:
     """Precompute DilatedPolys for padded polygons [..., K, 2] + mask.
 
     mask is per-VERTEX ([..., K] or broadcastable to it) — pass a
     per-polygon flag as ``flag[..., None]``, never bare (a bare [P] flag
-    with P == K broadcasts along the wrong axis silently)."""
+    with P == K broadcasts along the wrong axis silently).
+
+    rect=True: the polygons are RECTANGLES (every obstacle footprint in
+    this workload is one) — opposite edges are antiparallel, so only the
+    first two edge directions are kept; each lo/hi slab (min/max over ALL
+    corners) covers its opposite edge exactly. Halves the dominant
+    per-probe cost of point_hits_dilated (the DP collision sweep issues
+    ~1e8 probes x 16 polys x 2 discs of it per bench dispatch; measured
+    ~80 of 204 ms at B=512)."""
     from .geometry import _first_valid_fill
 
     pts, m = _first_valid_fill(polys, mask)
@@ -291,10 +299,11 @@ def dilate_polys(polys, mask, half) -> DilatedPolys:
           py[..., None, :] * ex[..., :, None])
     hn = half * (jnp.abs(ey) + jnp.abs(ex))
     big = jnp.asarray(jnp.inf, polys.dtype)
+    keep = slice(None, 2) if rect else slice(None)
     return DilatedPolys(
-        nx=ey, ny=-ex,
-        lo=jnp.where(deg, -big, pn.min(axis=-1) - hn),
-        hi=jnp.where(deg, big, pn.max(axis=-1) + hn),
+        nx=ey[..., keep], ny=-ex[..., keep],
+        lo=jnp.where(deg, -big, pn.min(axis=-1) - hn)[..., keep],
+        hi=jnp.where(deg, big, pn.max(axis=-1) + hn)[..., keep],
         minx=px.min(axis=-1) - half, maxx=px.max(axis=-1) + half,
         miny=py.min(axis=-1) - half, maxy=py.max(axis=-1) + half,
         valid=m.any(axis=-1))
@@ -390,14 +399,15 @@ def barrier_hit_road_spec(h, cx, cy, spec, pad=0.05):
     Here the box is tested against every road segment's boundary as a
     FINITE curve instead:
 
-    - straights: exact box-vs-finite-segment (line-parameter interval
-      clipped to the sampled extent);
-    - arcs: box-vs-ring (exact) AND'ed with a conservative angular-span
-      overlap test (the box's angular hull as seen from the arc center,
-      bounded via its enclosing circle — algebraic, no per-probe
-      transcendentals). When the lateral offset crosses the arc center
-      (dir*u > R, the hairpin inside boundary) the boundary points sit at
-      the REFLECTED angle phi+pi; the span is rotated accordingly.
+    - straights: box-vs-finite-segment via conservative SAT (box axes +
+      segment normal; mult/add/abs only);
+    - arcs: box-vs-ring squared (exact) AND'ed with a conservative
+      angular HALF-PLANE test — any boundary point within the arc span
+      satisfies (q-C).u_mid >= rb*cos(hw), slackened by the box
+      half-diagonal projection; no per-probe sqrt/div/trig. When the
+      lateral offset crosses the arc center (dir*u > R, the hairpin
+      inside boundary) the boundary points sit at the REFLECTED angle
+      phi+pi; the span is rotated accordingly.
 
     Extents are extended by one row step at each end and padded by
     ``pad`` (default 5 cm), which covers the sampled barrier points'
@@ -411,85 +421,89 @@ def barrier_hit_road_spec(h, cx, cy, spec, pad=0.05):
     zero table access."""
     dtype = cx.dtype
     hp = h + pad
-    cxe = cx[..., None]                               # [..., NSEG]
-    cye = cy[..., None]
-    res = spec.h
-    cntm1 = (spec.count - 1).astype(dtype)
-    curved = spec.is_arc
-    ksafe = jnp.where(curved, spec.kappa, 1.0)
-    sgn = jnp.sign(ksafe)
-    inv = 1.0 / ksafe
+    # spec leaves are host-built concrete arrays (dp.plan's validation
+    # already requires this); partition arcs/straights STATICALLY and
+    # precompute every per-(segment, side) constant in numpy — the traced
+    # per-probe work is then mult/add/abs/compare only (no divisions, no
+    # sqrt, no trig), which matters: at bench batches the DP stage issues
+    # ~1e8 probes x NSEG x 2 sides of this test per dispatch.
+    import numpy as np
 
-    # straights: line through P0 with unit direction (dirx, diry)
-    dirx = spec.stepx / res
-    diry = spec.stepy / res
-    seg_len = cntm1 * res
-    t_lo = -res                                       # one row step each end
-    t_hi = seg_len + res
+    res = float(spec.h)
+    is_arc = np.asarray(spec.is_arc)
+    cnt = np.asarray(spec.count, np.float64)
+    kap = np.asarray(spec.kappa, np.float64)
+    ang0 = np.asarray(spec.ang0, np.float64)
+    dang = np.asarray(spec.dang, np.float64)
+    xc = np.asarray(spec.xc, np.float64)
+    yc = np.asarray(spec.yc, np.float64)
+    x0 = np.asarray(spec.x0, np.float64)
+    y0 = np.asarray(spec.y0, np.float64)
+    stepx = np.asarray(spec.stepx, np.float64)
+    stepy = np.asarray(spec.stepy, np.float64)
+    sides = (float(spec.lb), -float(spec.rb))
 
-    # arcs: full angular span (cnt-1)*dang == the segment's turn angle
-    span = cntm1 * spec.dang
-    hw = jnp.minimum(jnp.abs(span) / 2 + jnp.abs(spec.dang), jnp.pi)
-    chw = jnp.cos(hw)
-    shw = jnp.sin(hw)
-    r_enc = hp * jnp.sqrt(jnp.asarray(2.0, dtype))    # box enclosing circle
+    hit = jnp.zeros(jnp.shape(cx), bool)
 
-    def one_side(u):
-        # straight boundary segment: P0 = first row + u * normal
-        p0x = spec.x0 + spec.stepx - u * diry
-        p0y = spec.y0 + spec.stepy + u * dirx
-        dx = p0x - cxe
-        dy = p0y - cye
-        big = jnp.asarray(1e9, dtype)
+    for g in range(len(is_arc)):
+        if not is_arc[g]:
+            # straight boundary segments for both sides: endpoints =
+            # first/last sampled row +- one row step, offset by u along
+            # the normal. Conservative SAT (box axes + segment normal;
+            # the direction axis is covered by the bbox bounds up to a
+            # diagonal-segment over-report).
+            dx_, dy_ = stepx[g] / res, stepy[g] / res  # unit direction
+            L = (cnt[g] - 1.0) * res
+            for u in sides:
+                p0x = x0[g] + stepx[g] - u * dy_ - res * dx_
+                p0y = y0[g] + stepy[g] + u * dx_ - res * dy_
+                p1x = p0x + (L + 2 * res) * dx_
+                p1y = p0y + (L + 2 * res) * dy_
+                lox, hix = min(p0x, p1x) - hp, max(p0x, p1x) + hp
+                loy, hiy = min(p0y, p1y) - hp, max(p0y, p1y) + hp
+                # normal (unnormalized unit): (-dy_, dx_)
+                nslack = hp * (abs(dy_) + abs(dx_))
+                ncx = -dy_ * p0x + dx_ * p0y
+                s = (-dy_) * cx + dx_ * cy - ncx
+                hit = hit | ((cx >= lox) & (cx <= hix) &
+                             (cy >= loy) & (cy <= hiy) &
+                             (jnp.abs(s) <= nslack))
+        else:
+            # arc boundary: ring test squared (exact) AND a conservative
+            # angular half-plane: any hit point q on the boundary circle
+            # within the (extended) span satisfies (q-C).u_mid >=
+            # rb*cos(hw); q is within hp*(|cmid|+|smid|) of the box
+            # center's projection. When the offset crosses the arc
+            # center (dir*u > R, hairpin inside boundary) the boundary
+            # sits at the REFLECTED angle phi+pi. hw >= pi drops the
+            # angular test statically.
+            inv = 1.0 / kap[g]
+            span = (cnt[g] - 1.0) * dang[g]
+            hw = min(abs(span) / 2 + abs(dang[g]), np.pi)
+            adx = cx - xc[g]
+            ady = cy - yc[g]
+            addx = jnp.abs(adx)
+            addy = jnp.abs(ady)
+            pdx = jnp.maximum(addx - hp, 0.0)
+            pdy = jnp.maximum(addy - hp, 0.0)
+            dmin2 = pdx * pdx + pdy * pdy
+            sdx = addx + hp
+            sdy = addy + hp
+            dmax2 = sdx * sdx + sdy * sdy
+            for u in sides:
+                rb = abs(inv - u)
+                ring = (dmin2 <= rb * rb) & (rb * rb <= dmax2)
+                if hw >= np.pi:
+                    hit = hit | ring
+                    continue
+                refl = np.pi if np.sign(kap[g]) * (inv - u) < 0 else 0.0
+                mid = ang0[g] + refl + span / 2
+                cmid, smid = np.cos(mid), np.sin(mid)
+                thresh = rb * np.cos(hw) - hp * (abs(cmid) + abs(smid))
+                ang = (adx * cmid + ady * smid) >= thresh
+                hit = hit | (ring & ang)
 
-        def axis_interval(dv, a):
-            small = jnp.abs(a) < 1e-6
-            asafe = jnp.where(small, 1.0, a)
-            p = (-hp - dv) / asafe
-            q = (hp - dv) / asafe
-            ok0 = jnp.abs(dv) <= hp
-            lo = jnp.where(small, jnp.where(ok0, -big, big),
-                           jnp.minimum(p, q))
-            hi = jnp.where(small, jnp.where(ok0, big, -big),
-                           jnp.maximum(p, q))
-            return lo, hi
-
-        lo1, hi1 = axis_interval(dx, dirx)
-        lo2, hi2 = axis_interval(dy, diry)
-        hit_line = (jnp.maximum(jnp.maximum(lo1, lo2), t_lo) <=
-                    jnp.minimum(jnp.minimum(hi1, hi2), t_hi))
-
-        # arc boundary: radius |inv - u| around (xc, yc); reflected span
-        # when the offset crosses the center (hairpin inside boundary)
-        rbnd = jnp.abs(inv - u)
-        refl = jnp.where(sgn * (inv - u) < 0, jnp.pi, 0.0)
-        mid = spec.ang0 + refl + span / 2
-        cmid = jnp.cos(mid)
-        smid = jnp.sin(mid)
-        adx = cxe - spec.xc
-        ady = cye - spec.yc
-        addx = jnp.abs(adx)
-        addy = jnp.abs(ady)
-        dmin = jnp.hypot(jnp.maximum(addx - hp, 0.0),
-                         jnp.maximum(addy - hp, 0.0))
-        dmax = jnp.hypot(addx + hp, addy + hp)
-        ring = (dmin <= rbnd) & (rbnd <= dmax)
-        # angular overlap |normalize(theta_c - mid)| <= hw + hh with
-        # hh = asin(r_enc / d) (box angular half-extent bound), evaluated
-        # algebraically: proj = d*cos(theta_c - mid),
-        # d*cos(hw+hh) = chw*sqrt(d^2-r^2) - shw*min(d, r)
-        d2 = adx * adx + ady * ady
-        d = jnp.sqrt(d2)
-        proj = adx * cmid + ady * smid
-        dchh = jnp.sqrt(jnp.maximum(d2 - r_enc * r_enc, 0.0))
-        dshh = jnp.minimum(d, r_enc)
-        inside = d2 <= r_enc * r_enc
-        fullspan = (hw >= jnp.pi) | (chw * d <= -dchh)
-        ang = inside | fullspan | (proj >= chw * dchh - shw * dshh)
-        hit_arc = ring & ang
-        return jnp.where(curved, hit_arc, hit_line)
-
-    return (one_side(spec.lb) | one_side(-spec.rb)).any(axis=-1)
+    return hit
 
 
 def check_optimization_collision(scn: Scenario, time, x, y, theta,
@@ -556,6 +570,8 @@ def check_optimization_collision(scn: Scenario, time, x, y, theta,
                 cnt = barrier_points_in_box_grid(grid, minx, miny,
                                                  maxx, maxy)
                 hit = hit | (cnt > 0)
+        elif mode == "skiproad":
+            pass  # obstacle-only probe (ablation/diagnostics)
         elif mode == "frenet":
             if road_spec is not None:
                 hit = hit | barrier_hit_road_spec(half, cx, cy, road_spec)
