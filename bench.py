@@ -77,8 +77,9 @@ def _pipeline_bench(latency: bool):
     DP_MODE = os.environ.get("BENCH_DP_MODE", "frenet")
     cfg = dataclasses.replace(cfg, dp=dataclasses.replace(
         cfg.dp, collision_mode=DP_MODE))
-    # B=512 measured best: 1808 (256) / 1961 (512) / 1743 (1024) replans/s
-    B = int(os.environ.get("BENCH_BATCH", "512"))
+    # B=1024 measured best after the round-3 DP flop cuts: 2129 (256) /
+    # 2219 (512) / 2068 (768) / 2335 (1024) replans/s
+    B = int(os.environ.get("BENCH_BATCH", "1024"))
     INNER = int(os.environ.get("BENCH_INNER", "2"))
     REPS = int(os.environ.get("BENCH_REPS", "30" if latency else "4"))
     BACKEND = os.environ.get("BENCH_BACKEND", "blast")
