@@ -134,10 +134,13 @@ def main(argv=None):
         out = pipeline.plan(scn, start, cfg, spec=spec)
         jax.block_until_ready(out.solve.us)
         dt_ms = (time.perf_counter() - t0) * 1e3
+        hits = np.asarray(out.solve_hits)
         print(f"dp_ok={bool(out.dp_ok)} corridors_ok={bool(out.corridors.ok.all())} "
               f"status={SolverStatus(int(out.solve.status)).name} "
               f"iters={int(out.solve.iters)} "
               f"cost={float(out.solve.cost.total):.3f} "
+              f"recheck: near25={int(hits[:25].sum())} "
+              f"tail={int(hits[25:].sum())} colliding knots; "
               f"wall={dt_ms:.1f} ms (incl. compile)")
         if args.save:
             from . import checkpoint

@@ -64,3 +64,33 @@ def test_traj_from_solution(scn):
     np.testing.assert_allclose(
         np.asarray(tr.kappa),
         np.tan(np.asarray(out.solve.xs)[:, 5]) / CFG.vehicle.wheel_base)
+
+
+def test_solve_hits_flags_a_planted_collision():
+    """PlanOutput.solve_hits unit check: re-checking a trajectory rammed
+    through a static obstacle must flag exactly the knots whose two-disc
+    probe overlaps it, and the pipeline's own (healthy) output must
+    re-check clean on the executed near-term horizon."""
+    import jax
+
+    from cilqr_tpu import pipeline as P
+    from cilqr_tpu import scenario as SC
+    from cilqr_tpu.config import PlannerConfig
+    from cilqr_tpu.pipeline import _recheck_solution
+
+    cfg = PlannerConfig()
+    scn = SC.make_scenario(seed=1, dtype=jnp.float64)
+    spec = SC.analytic_road_spec()
+    out = P.plan(scn, (0.0, 0.0, 0.0, 10.0), cfg, spec=spec)
+    hits = np.asarray(out.solve_hits)
+    assert hits.shape == (81,)
+    assert not hits[:25].any(), np.nonzero(hits[:25])[0]
+
+    # plant: park the whole trajectory on top of the first static obstacle
+    ob = np.asarray(scn.static_obs)[0]          # [4, 2] corners
+    cx, cy = ob.mean(axis=0)
+    xs = np.asarray(out.solve.xs).copy()
+    xs[40:45, 0] = cx
+    xs[40:45, 1] = cy
+    hits2 = np.asarray(_recheck_solution(scn, jnp.asarray(xs), cfg, spec))
+    assert hits2[40:45].all(), hits2[40:45]
