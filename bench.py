@@ -235,7 +235,8 @@ def _mpc_bench():
     from cilqr_tpu.config import PlannerConfig
 
     cfg = PlannerConfig()
-    B = int(os.environ.get("BENCH_BATCH", "256"))
+    # B=512 measured best: 3,653 cycles/s at B=256 / 3,769 at B=512
+    B = int(os.environ.get("BENCH_BATCH", "512"))
     CYCLES = int(os.environ.get("BENCH_CYCLES", "8"))
     REPS = int(os.environ.get("BENCH_REPS", "4"))
     BACKEND = os.environ.get("BENCH_BACKEND", "blast")
