@@ -233,7 +233,7 @@ def cons_to_bl(cons: ConstraintSet, goals_bl=None, lane_window: int = 0
             return out                                     # [N, W, B]
 
         # which window edges clip off real segments (for the runtime
-        # argmin-on-edge safety flag in _nearest_lane_sel): an argmin on
+        # argmin-on-edge safety flag in _nearest_lane_sel_discs): an argmin on
         # slot 0 / W-1 only signals a possibly-out-of-window nearest
         # segment when segments exist beyond that edge. The selected
         # start is ks[best]; valid (unmasked) segments span [0, n_valid).
@@ -261,32 +261,40 @@ def _disc_offsets(cfg: IlqrConfig, veh: VehicleParam, dtype):
     return L * (jnp.arange(D, dtype=dtype) - 0.5) - veh.rear_hang_length
 
 
-def _nearest_lane_sel(cx, cy, lane):
-    """Masked-argmin nearest segment + one-hot plane selection (replaces
-    the gather in costs._nearest_lane_plane). cx, cy [N, B];
-    returns (a, b, c, edge) each [N, B]. Lane arrays are [S, B] (shared
-    across knots; edge=None) or [N, W, B] (per-knot windows; edge flags an
-    argmin landing on a CLIPPED window edge — point-segment distance is
-    continuous in index space along the boundary polyline, so a nearer
-    out-of-window segment pulls the in-window argmin to that edge; the
-    selection may then be wrong and the caller must surface it)."""
+def _nearest_lane_sel_discs(cx, cy, lane):
+    """Masked-argmin nearest lane segment + one-hot plane selection for
+    ALL D disc centers at once (replaces the gather in
+    costs._nearest_lane_plane; identical fp ops so argmin ties break the
+    same way): cx, cy [D, N, B] -> (a, b, c [D, N, B],
+    edge [D, N, B] | None). Lane arrays are [S, B] (shared across knots;
+    edge=None) or [N, W, B] (per-knot windows; edge flags an argmin
+    landing on a CLIPPED window edge — see IlqrConfig.lane_window).
+
+    One distance tensor + one argmin + one one-hot select set for ALL D
+    disc centers instead of D separate kernel chains: profiling the solve
+    showed the per-disc iota_reduce fusions (argmin + one-hot sums over
+    the W axis) were ~47% of its device time (docs/PERF.md). Selection and
+    the per-disc selected values are bitwise-identical to the per-disc
+    calls — the W-axis reductions see exactly the same elements in the
+    same order per (d, n, b)."""
     a, b, c, x1, y1, x2, y2, m, lo, hi = lane
-    if a.ndim == 2:   # shared: broadcast to [N, S, B]
+    if a.ndim == 2:   # shared [S, B]: broadcast to [1, 1, S, B]
+        a, b, c, x1, y1, x2, y2, m = (
+            v[None, None] for v in (a, b, c, x1, y1, x2, y2, m))
+    else:             # windowed [N, W, B]: broadcast to [1, N, W, B]
         a, b, c, x1, y1, x2, y2, m = (
             v[None] for v in (a, b, c, x1, y1, x2, y2, m))
-    # identical fp ops to costs._nearest_lane_plane so argmin ties break
-    # the same way; elementwise over [N, S|W, B]
-    d = point_segment_distance(cx[:, None, :], cy[:, None, :],
-                               x1, y1, x2, y2)
+    d = point_segment_distance(cx[:, :, None, :], cy[:, :, None, :],
+                               x1, y1, x2, y2)          # [D, N, S, B]
     d = jnp.where(m, d, jnp.inf)
-    idx = jnp.argmin(d, axis=1)                        # [N, B]
-    S = d.shape[1]
-    onehot = (jax.lax.broadcasted_iota(jnp.int32, (1, S, 1), 1)
-              == idx[:, None, :])
-    sel = lambda p: jnp.sum(jnp.where(onehot, p, 0.0), axis=1)
+    idx = jnp.argmin(d, axis=2)                         # [D, N, B]
+    S = d.shape[2]
+    onehot = (jax.lax.broadcasted_iota(jnp.int32, (1, 1, S, 1), 2)
+              == idx[:, :, None, :])
+    sel = lambda p: jnp.sum(jnp.where(onehot, p, 0.0), axis=2)
     edge = None
     if lo is not None:
-        edge = ((idx == 0) & lo) | ((idx == S - 1) & hi)
+        edge = ((idx == 0) & lo[None]) | ((idx == S - 1) & hi[None])
     return sel(a), sel(b), sel(c), edge
 
 
@@ -371,11 +379,25 @@ def _cost_stack_bl(xs, us, goals, cbl: ConsBL, cfg, veh, want_derivs):
             hu[(i, i)] = hu[(i, i)] + bar.hess_factors(g)[0]
 
     D = int(offs.shape[0])
+    # all-disc centers [D, N, B]; the lane-segment searches run ONCE over
+    # the stacked disc axis (see _nearest_lane_sel_discs), then the
+    # accumulation below keeps the original per-disc order bit-for-bit
+    lcs = offs[:, None, None] * ct[None]
+    lss = offs[:, None, None] * st[None]
+    cxds = xs[0][None] + lcs
+    cyds = xs[1][None] + lss
+    lane_sels = []
+    for lane in cbl.lanes:
+        sla, slb, slc, sedge = _nearest_lane_sel_discs(cxds, cyds, lane)
+        if sedge is not None:
+            clip = clip | sedge.any(axis=(0, 1))
+        lane_sels.append((sla, slb, slc))
+
     for d in range(D):
-        lc = offs[d] * ct                              # [N, B]
-        ls = offs[d] * st
-        cxd = xs[0] + lc
-        cyd = xs[1] + ls
+        lc = lcs[d]                                    # [N, B]
+        ls = lss[d]
+        cxd = cxds[d]
+        cyd = cyds[d]
 
         # corridor barriers over [N, KC, B]
         g = (cbl.ca * cxd[:, None] + cbl.cb * cyd[:, None] - cbl.cc)
@@ -397,11 +419,9 @@ def _cost_stack_bl(xs, us, goals, cbl: ConsBL, cfg, veh, want_derivs):
                     hadd(i, j, jnp.sum(hf * comps[i] * comps[j], axis=1))
             hadd(2, 2, jnp.sum(hddx * ddx22, axis=1))
 
-        # lane barriers (nearest-segment one-hot)
-        for lane in cbl.lanes:
-            la, lb, lcc, ledge = _nearest_lane_sel(cxd, cyd, lane)
-            if ledge is not None:
-                clip = clip | ledge.any(axis=0)
+        # lane barriers (nearest-segment one-hot, selected above)
+        for sla, slb, slc in lane_sels:
+            la, lb, lcc = sla[d], slb[d], slc[d]
             lg = la * cxd + lb * cyd - lcc
             lanek = lanek + bar.value(lg)
             if want_derivs:

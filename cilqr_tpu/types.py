@@ -147,7 +147,7 @@ class SolveResult:
     lane-segment search (IlqrConfig.lane_window) saw a nearest-segment
     argmin land on a clipped window edge at any point of the solve, i.e.
     the euclidean-nearest segment may lie outside the window and a wrong
-    lane plane may have been selected (solver_blast._nearest_lane_sel);
+    lane plane may have been selected (solver_blast._nearest_lane_sel_discs);
     always False for full-scan backends/configs.
     """
 
