@@ -69,11 +69,13 @@ def _pipeline_bench(latency: bool):
     import dataclasses
 
     cfg = PlannerConfig()
-    # DP road-barrier mode: 'frenet' (default — zero-gather closed-form
-    # boundary test; the grid mode's per-probe int8 gather was 160 of the
-    # 220 ms DP stage at B=32, ~16 ns/index latency-bound however
-    # formulated) or 'grid'. Both qualified vs 'exact' winning cells on
-    # pedestrian_test fixtures (tests/test_dp.py::test_dp_frenet_vs_exact).
+    # DP road-barrier mode: 'frenet' (the config default — with the
+    # RoadSpec below it runs the finite-extent per-segment test,
+    # conservative-complete on every road family) or 'grid' (dilated
+    # occupancy tables; its per-probe int8 gather was 160 of the 220 ms
+    # DP stage at B=32). Qualified vs 'exact' winning cells over 16
+    # seeds x {f64, f32} x two road families
+    # (tests/test_dp_qualification.py).
     DP_MODE = os.environ.get("BENCH_DP_MODE", "frenet")
     cfg = dataclasses.replace(cfg, dp=dataclasses.replace(
         cfg.dp, collision_mode=DP_MODE))
@@ -92,10 +94,11 @@ def _pipeline_bench(latency: bool):
             if DP_MODE == "grid" else None)
     lane = pipeline.make_lane_tuple(barriers[1], barriers[2], cfg,
                                     np.float32)
-    # gather-free DP station evaluation from the road recipe (dp.plan spec;
-    # decision-identical to the table path on the qualification seeds,
-    # tests/test_dp.py::test_dp_analytic_vs_table); BENCH_DP_ANALYTIC=0
-    # falls back to packed-row table gathers
+    # gather-free DP station evaluation + finite road test from the road
+    # recipe (dp.plan spec; decision-identical to exact mode on the
+    # qualification seeds, tests/test_dp_qualification.py);
+    # BENCH_DP_ANALYTIC=0 falls back to packed-row table gathers and the
+    # spec-less frenet stand-in
     spec = (scenario.analytic_road_spec(dtype=np.float32)
             if os.environ.get("BENCH_DP_ANALYTIC", "1") != "0" else None)
     scns = scenario.make_scenario_batch(range(B), dtype=dtype)
