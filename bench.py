@@ -136,8 +136,9 @@ def _pipeline_bench(latency: bool):
         def one(d):
             out = pipeline.plan_batch(scns, starts.at[:, 1].add(d), cfg,
                                       grid, lane, backend=BACKEND, spec=spec)
+            near = pipeline.NEAR_TERM_KNOTS
             return (out.solve.us.sum(), out.solve.iters.sum(), out.ok.sum(),
-                    out.solve_hits[..., :25].any(-1).sum())
+                    out.solve_hits[..., :near].any(-1).sum())
 
         us_sum, it_sum, ok_sum, bad = jax.lax.map(one, deltas)
         return us_sum.sum(), it_sum.sum(), ok_sum.sum(), bad.sum()
@@ -214,11 +215,20 @@ def _pipeline_bench(latency: bool):
     print(f"converged+ok fraction: {ok_frac:.4f}; lanes whose executed "
           f"near-term horizon (25 knots) re-checks dirty: "
           f"{bad_lanes}/{B * INNER}", file=sys.stderr)
+    # near_term_dirty_lanes rides the JSON so drift in the safety counter
+    # is visible to BENCH_r*.json parsers, not stderr-only. It is NOT
+    # folded into "ok": ok = converged & corridors-built (solver-level
+    # health); near-term-dirty is a distinct, characterized phenomenon
+    # (start-perturbation tail — see docs/PERF.md "executed-horizon
+    # re-check at bench scale" and tests/test_pipeline_f32_gate.py gate
+    # F) whose budget the gate pins separately.
     print(json.dumps({
         "metric": "full_replans_per_s_per_chip",
         "value": round(rate, 2),
         "unit": "replans/s",
         "vs_baseline": round(rate / 1000.0, 3),
+        "near_term_dirty_lanes": bad_lanes,
+        "total_lanes": B * INNER,
     }))
 
 
@@ -266,11 +276,12 @@ def _mpc_bench():
     def roll(scns, xs, us):
         carry = mpc.MpcCarry(xs=xs, us=us,
                              cycle_time=jnp.zeros((xs.shape[0],), dtype))
-        final, (status, iters, cost, cor_ok, clipped) = mpc.mpc_scan_batch(
-            scns, carry, cfg, lane, CYCLES, backend=BACKEND)
+        final, (status, iters, cost, cor_ok, clipped, near_hits) = \
+            mpc.mpc_scan_batch(scns, carry, cfg, lane, CYCLES,
+                               backend=BACKEND, spec=spec)
         return (final.xs.sum(), iters.sum(),
                 iters.astype(jnp.float32).mean(), cor_ok.all(),
-                clipped.sum())
+                clipped.sum(), near_hits.sum())
 
     out = roll(scns, out0.solve.xs, out0.solve.us)
     jax.block_until_ready(out)
@@ -282,15 +293,21 @@ def _mpc_bench():
         _ = float(out[0])
         times.append(time.perf_counter() - t0)
     rate = B * CYCLES / min(times)
+    near_dirty = int(out[5])
     print(f"warm-start iters/cycle: {warm_iters:.2f} vs cold "
           f"{cold_iters:.2f}; corridors ok: {bool(out[3])}; "
-          f"lane windows clipped: {int(out[4])}/{B * CYCLES}",
+          f"lane windows clipped: {int(out[4])}/{B * CYCLES}; "
+          f"executed-horizon re-check dirty cycles: "
+          f"{near_dirty}/{B * CYCLES}",
           file=sys.stderr)
     print(json.dumps({
         "metric": "mpc_replan_cycles_per_s_per_chip",
         "value": round(rate, 2),
         "unit": "cycles/s",
         "vs_baseline": round(rate / 1000.0, 3),
+        "near_term_dirty_cycles": near_dirty,
+        "total_cycles": B * CYCLES,
+        "lane_windows_clipped": int(out[4]),
     }))
 
 
@@ -348,6 +365,12 @@ def main():
         cfg = cfg.replace(ilqr=dataclasses.replace(
             cfg.ilqr, line_search=dataclasses.replace(
                 cfg.ilqr.line_search, mode=mode)))
+    lane_search = os.environ.get("BENCH_LANE_SEARCH")
+    if lane_search:
+        import dataclasses
+
+        cfg = cfg.replace(ilqr=dataclasses.replace(
+            cfg.ilqr, lane_search=lane_search))
     ilqr = cfg.ilqr
     veh = cfg.vehicle
     dt = cfg.delta_t

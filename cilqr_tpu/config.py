@@ -175,6 +175,16 @@ class IlqrConfig:
     # guaranteed margin is (W/2 - W/8) segments. 0 = full scan. Windows
     # apply only when W < S.
     lane_window: int = 32
+    # Lane-search reduction strategy (solver_blast._nearest_lane_sel_discs):
+    # 'reduce' = ONE variadic lax.reduce carrying (distance, index, a, b, c)
+    # with a lexicographic (d, idx) key — a true total order, so the result
+    # is bitwise-identical to argmin-with-first-index-ties regardless of
+    # reduction order, and the distance producer is fused into a single
+    # pass; 'onehot' = jnp.argmin + 3 one-hot select sums (4 reductions,
+    # each re-fusing the distance producer — measured ~4 iota_reduce
+    # kernels x ~33 us per solver trip at B=512, docs/PERF.md round-3
+    # kernel profile).
+    lane_search: str = "reduce"
     # Converged-lane compaction (solver_blast.solve_batch_compact): the
     # batch otherwise runs in lockstep until its slowest lane concludes,
     # burning full-width trips on a dwindling minority. Phase 1 runs the

@@ -31,6 +31,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .barriers import RelaxBarrier
 from .config import IlqrConfig, VehicleParam
@@ -261,22 +262,29 @@ def _disc_offsets(cfg: IlqrConfig, veh: VehicleParam, dtype):
     return L * (jnp.arange(D, dtype=dtype) - 0.5) - veh.rear_hang_length
 
 
-def _nearest_lane_sel_discs(cx, cy, lane):
-    """Masked-argmin nearest lane segment + one-hot plane selection for
-    ALL D disc centers at once (replaces the gather in
+def _nearest_lane_sel_discs(cx, cy, lane, method: str = "reduce"):
+    """Masked-argmin nearest lane segment + plane selection for ALL D
+    disc centers at once (replaces the gather in
     costs._nearest_lane_plane; identical fp ops so argmin ties break the
     same way): cx, cy [D, N, B] -> (a, b, c [D, N, B],
     edge [D, N, B] | None). Lane arrays are [S, B] (shared across knots;
     edge=None) or [N, W, B] (per-knot windows; edge flags an argmin
     landing on a CLIPPED window edge — see IlqrConfig.lane_window).
 
-    One distance tensor + one argmin + one one-hot select set for ALL D
-    disc centers instead of D separate kernel chains: profiling the solve
-    showed the per-disc iota_reduce fusions (argmin + one-hot sums over
-    the W axis) were ~47% of its device time (docs/PERF.md). Selection and
-    the per-disc selected values are bitwise-identical to the per-disc
-    calls — the W-axis reductions see exactly the same elements in the
-    same order per (d, n, b)."""
+    One distance tensor for ALL D disc centers instead of D separate
+    kernel chains: profiling the solve showed the per-disc iota_reduce
+    fusions (argmin + one-hot sums over the W axis) were ~47% of its
+    device time (docs/PERF.md). Selection and the per-disc selected
+    values are bitwise-identical to the per-disc calls — the W-axis
+    reductions see exactly the same elements per (d, n, b).
+
+    method='reduce' (IlqrConfig.lane_search): a single variadic
+    lax.reduce carrying (d, idx, a, b, c) with the lexicographic (d, idx)
+    key — a total order, so the combiner is associative+commutative and
+    the result equals argmin-with-first-index-ties bitwise while the
+    distance producer is fused into ONE pass over [D, N, S, B] instead
+    of four (argmin + 3 one-hot select sums re-fuse it each time).
+    method='onehot': the round-3 argmin + one-hot formulation."""
     a, b, c, x1, y1, x2, y2, m, lo, hi = lane
     if a.ndim == 2:   # shared [S, B]: broadcast to [1, 1, S, B]
         a, b, c, x1, y1, x2, y2, m = (
@@ -287,8 +295,33 @@ def _nearest_lane_sel_discs(cx, cy, lane):
     d = point_segment_distance(cx[:, :, None, :], cy[:, :, None, :],
                                x1, y1, x2, y2)          # [D, N, S, B]
     d = jnp.where(m, d, jnp.inf)
-    idx = jnp.argmin(d, axis=2)                         # [D, N, B]
     S = d.shape[2]
+
+    if method == "reduce":
+        shape = d.shape
+        iota = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+        ab, bb, cb = (jnp.broadcast_to(v, shape) for v in (a, b, c))
+
+        def comb(l, r):
+            dl, il, al, bl_, cl_ = l
+            dr, ir, ar, br, cr = r
+            pred = (dl < dr) | ((dl == dr) & (il < ir))
+            pick = lambda u, v: jax.lax.select(pred, u, v)
+            return (pick(dl, dr), pick(il, ir), pick(al, ar),
+                    pick(bl_, br), pick(cl_, cr))
+
+        zero = jnp.asarray(0.0, d.dtype)
+        inits = (jnp.asarray(jnp.inf, d.dtype),
+                 jnp.asarray(np.iinfo(np.int32).max, jnp.int32),
+                 zero, zero, zero)
+        _, idx, sa, sb, sc = jax.lax.reduce(
+            (d, iota, ab, bb, cb), inits, comb, (2,))
+        edge = None
+        if lo is not None:
+            edge = ((idx == 0) & lo[None]) | ((idx == S - 1) & hi[None])
+        return sa, sb, sc, edge
+
+    idx = jnp.argmin(d, axis=2)                         # [D, N, B]
     onehot = (jax.lax.broadcasted_iota(jnp.int32, (1, 1, S, 1), 2)
               == idx[:, :, None, :])
     sel = lambda p: jnp.sum(jnp.where(onehot, p, 0.0), axis=2)
@@ -388,7 +421,8 @@ def _cost_stack_bl(xs, us, goals, cbl: ConsBL, cfg, veh, want_derivs):
     cyds = xs[1][None] + lss
     lane_sels = []
     for lane in cbl.lanes:
-        sla, slb, slc, sedge = _nearest_lane_sel_discs(cxds, cyds, lane)
+        sla, slb, slc, sedge = _nearest_lane_sel_discs(
+            cxds, cyds, lane, method=cfg.lane_search)
         if sedge is not None:
             clip = clip | sedge.any(axis=(0, 1))
         lane_sels.append((sla, slb, slc))

@@ -25,7 +25,9 @@ def test_centerline_shape_and_geometry():
 
 
 def test_scenario_tensors(scn):
-    assert scn.static_obs.shape == (SC.MAX_STATIC, 4, 2)
+    # slots size exactly to the workload (padded slots burn full DP probe
+    # cost, so none exist for the default counts)
+    assert scn.static_obs.shape == (SC.N_STATIC, 4, 2)
     assert int(scn.static_mask.sum()) == SC.N_STATIC
     assert int(scn.dyn_mask.sum()) == SC.N_PEDESTRIANS + SC.N_DYNAMIC_VEHICLES
     # dynamic times monotonically nondecreasing
