@@ -9,9 +9,16 @@ drifts past a window edge, the argmin lands on the clipped edge slot
 (point-segment distance is continuous in index space along a boundary
 polyline) and the solver surfaces SolveResult.lane_clipped.
 
-Covered here: (1) the flag's fire/no-fire behavior and its agreement with
-the full scan on synthetic drift cases; (2) a tight-arc road (5 m radii,
-the corridor.cc:307-320 resampling regime) where the windowed solve must
+Since cfcad79 the search runs ONCE over a stacked disc axis
+(_nearest_lane_sel_discs: cx, cy [D, N, B] -> per-disc selections
+[D, N, B] + per-disc edge flag). Covered here: (1) fire/no-fire of the
+stacked edge flag and agreement with the full scan; (2) the per-disc
+ASYMMETRIC edge semantics `(idx==0)&lo | (idx==S-1)&hi`
+(solver_blast.py) — an argmin on a window edge flags only the discs that
+land on an edge that actually clips off real segments, which the old
+single-disc API could not express; (3) bitwise identity of the stacked
+search vs per-disc calls; (4) a tight-arc road (5 m radii, the
+corridor.cc:307-320 resampling regime) where the windowed solve must
 match the full-scan solve decision-for-decision with no clip flag."""
 
 import dataclasses
@@ -22,7 +29,7 @@ import numpy as np
 
 from cilqr_tpu.config import IlqrConfig, PlannerConfig, VehicleParam
 from cilqr_tpu.costs import ConstraintSet
-from cilqr_tpu.solver_blast import (_bl, _nearest_lane_sel, cons_to_bl,
+from cilqr_tpu.solver_blast import (_bl, _nearest_lane_sel_discs, cons_to_bl,
                                     solve_batch_bl)
 
 VEH = VehicleParam()
@@ -53,28 +60,33 @@ def _straight_lane_cons(S=64, N=81, B=1, seg_len=5.0, goal_x=25.0):
     return cons, _bl(jnp.asarray(goals))
 
 
+def _discs(*xs_per_disc, N=81, B=1):
+    """Per-disc constant query positions -> cx, cy [D, N, B]."""
+    D = len(xs_per_disc)
+    cx = jnp.asarray(xs_per_disc, jnp.float64)[:, None, None]
+    return (jnp.broadcast_to(cx, (D, N, B)), jnp.zeros((D, N, B)))
+
+
 def test_window_clip_flag_fires_on_drift():
     cons, goals_bl = _straight_lane_cons()
     win = cons_to_bl(cons, goals_bl=goals_bl, lane_window=32)
     full = cons_to_bl(cons, goals_bl=None, lane_window=0)
-    N, B = 81, 1
 
-    # benign: query at the goals (x=25, segment 5, window interior) —
-    # no flag, same selection as the full scan
-    cx = jnp.full((N, B), 25.0)
-    cy = jnp.zeros((N, B))
-    aw, _, _, edge = _nearest_lane_sel(cx, cy, win.lanes[0])
-    af, _, _, ef = _nearest_lane_sel(cx, cy, full.lanes[0])
+    # benign: all 5 discs query at the goals (x=25, segment 5, window
+    # interior) — no flag, same selection as the full scan
+    cx, cy = _discs(*([25.0] * 5))
+    aw, _, _, edge = _nearest_lane_sel_discs(cx, cy, win.lanes[0])
+    af, _, _, ef = _nearest_lane_sel_discs(cx, cy, full.lanes[0])
     assert ef is None
     assert not bool(edge.any())
     np.testing.assert_array_equal(np.asarray(aw), np.asarray(af))
 
-    # drifted: query at x=300 (true nearest segment 59) while the window
-    # covers [0, 32) — the in-window argmin lands on the clipped edge
-    # slot, the flag fires, and the selection is indeed wrong
-    cx2 = jnp.full((N, B), 300.0)
-    aw2, _, _, edge2 = _nearest_lane_sel(cx2, cy, win.lanes[0])
-    af2, _, _, _ = _nearest_lane_sel(cx2, cy, full.lanes[0])
+    # drifted: all discs at x=300 (true nearest segment 59) while the
+    # window covers [0, 32) — the in-window argmin lands on the clipped
+    # edge slot, the flag fires on every disc, and the selection is wrong
+    cx2, _ = _discs(*([300.0] * 5))
+    aw2, _, _, edge2 = _nearest_lane_sel_discs(cx2, cy, win.lanes[0])
+    af2, _, _, _ = _nearest_lane_sel_discs(cx2, cy, full.lanes[0])
     assert bool(edge2.all())
     assert np.asarray(aw2).max() == 31          # clipped to the edge
     assert np.asarray(af2).min() == 59          # the real nearest
@@ -82,8 +94,120 @@ def test_window_clip_flag_fires_on_drift():
     # against a window whose high edge is the last valid segment
     consb, goalsb = _straight_lane_cons(goal_x=64 * 5.0 - 10.0)
     winb = cons_to_bl(consb, goals_bl=goalsb, lane_window=32)
-    _, _, _, edge3 = _nearest_lane_sel(cx2, cy, winb.lanes[0])
+    _, _, _, edge3 = _nearest_lane_sel_discs(cx2, cy, winb.lanes[0])
     assert not bool(edge3.any())
+
+
+def test_per_disc_asymmetric_clip():
+    """Discs landing on the SAME window's two edges flag independently,
+    and only on an edge that clips off real segments.
+
+    Window [0, 32) of 64 valid segments: lo=False (nothing clipped below
+    index 0), hi=True. A disc drifted LEFT of segment 0 argmins on slot 0
+    — a true global nearest, no flag. A disc drifted far RIGHT argmins on
+    slot 31 — clipped, flags. Mirrored window [32, 64): lo=True, hi=False
+    — the flags swap sides."""
+    N, B = 81, 1
+    # window [0, 32): goal at x=25 -> quantized start 0
+    cons, goals_bl = _straight_lane_cons(goal_x=25.0)
+    win = cons_to_bl(cons, goals_bl=goals_bl, lane_window=32)
+    # disc 0 left-drifted, disc 1 right-drifted, disc 2 interior
+    cx, cy = _discs(-50.0, 300.0, 25.0)
+    a, _, _, edge = _nearest_lane_sel_discs(cx, cy, win.lanes[0])
+    edge = np.asarray(edge)
+    a = np.asarray(a)
+    assert not edge[0].any()          # idx==0 but lo=False: no clip
+    assert a[0].max() == 0            # and it's the true nearest segment
+    assert edge[1].all()              # idx==W-1 with hi=True: clipped
+    assert a[1].min() == 31
+    assert not edge[2].any()          # interior
+
+    # mirrored window [32, 64): goal at x=310 -> quantized start 32
+    consb, goalsb = _straight_lane_cons(goal_x=64 * 5.0 - 10.0)
+    winb = cons_to_bl(consb, goals_bl=goalsb, lane_window=32)
+    # disc 0 left-drifted (now clipped), disc 1 right-drifted past the
+    # LAST real segment (idx==W-1 but hi=False: true nearest, no flag)
+    cxb, cyb = _discs(-50.0, 1000.0, 310.0)
+    ab, _, _, edgeb = _nearest_lane_sel_discs(cxb, cyb, winb.lanes[0])
+    edgeb = np.asarray(edgeb)
+    ab = np.asarray(ab)
+    assert edgeb[0].all()             # idx==0 with lo=True: clipped
+    assert ab[0].max() == 32
+    assert not edgeb[1].any()         # idx==W-1 but hi=False: no clip
+    assert ab[1].min() == 63          # the true last segment
+    assert not edgeb[2].any()
+
+
+def test_reduce_method_matches_onehot_bitwise():
+    """IlqrConfig.lane_search='reduce' (one variadic lax.reduce with a
+    lexicographic (d, idx) key) must select bitwise-identically to the
+    argmin+one-hot formulation — including exact-tie cases (first index
+    wins) and all-masked columns (index 0's plane values) — windowed and
+    full-scan."""
+    cons, goals_bl = _straight_lane_cons()
+    win = cons_to_bl(cons, goals_bl=goals_bl, lane_window=32)
+    full = cons_to_bl(cons, goals_bl=None, lane_window=0)
+    rng = np.random.default_rng(7)
+    cx = jnp.asarray(rng.uniform(-60.0, 340.0, size=(5, 81, 1)))
+    # y=4 boundary: put some queries exactly equidistant from two
+    # segments (x on a shared endpoint) to force distance ties
+    cx = cx.at[0, :10, 0].set(jnp.arange(10, dtype=cx.dtype) * 5.0)
+    cy = jnp.asarray(rng.uniform(-2.0, 6.0, size=(5, 81, 1)))
+    for lane in (win.lanes[0], full.lanes[0]):
+        r = _nearest_lane_sel_discs(cx, cy, lane, method="reduce")
+        o = _nearest_lane_sel_discs(cx, cy, lane, method="onehot")
+        for vr, vo in zip(r, o):
+            if vr is None:
+                assert vo is None
+            else:
+                np.testing.assert_array_equal(np.asarray(vr), np.asarray(vo))
+
+
+def test_lane_search_methods_same_solve():
+    """Full batched solves under the two lane_search methods are
+    bitwise-equal (same selected planes -> same downstream fp ops)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from __graft_entry__ import _synthetic_problem
+
+    cfg, goals, starts, cons = _synthetic_problem(batch=4, n_knots=21,
+                                                  dtype=jnp.float64)
+    res_r = solve_batch_bl(goals, starts, cons,
+                           dataclasses.replace(cfg.ilqr,
+                                               lane_search="reduce"),
+                           cfg.vehicle, cfg.delta_t)
+    res_o = solve_batch_bl(goals, starts, cons,
+                           dataclasses.replace(cfg.ilqr,
+                                               lane_search="onehot"),
+                           cfg.vehicle, cfg.delta_t)
+    np.testing.assert_array_equal(np.asarray(res_r.us), np.asarray(res_o.us))
+    np.testing.assert_array_equal(np.asarray(res_r.status),
+                                  np.asarray(res_o.status))
+    np.testing.assert_array_equal(np.asarray(res_r.iters),
+                                  np.asarray(res_o.iters))
+
+
+def test_stacked_search_matches_per_disc_calls():
+    """The one-shot [D, N, B] search is bitwise-identical to D separate
+    single-disc calls (the cfcad79 batching claim), windowed and full."""
+    cons, goals_bl = _straight_lane_cons()
+    win = cons_to_bl(cons, goals_bl=goals_bl, lane_window=32)
+    full = cons_to_bl(cons, goals_bl=None, lane_window=0)
+    rng = np.random.default_rng(0)
+    cx = jnp.asarray(rng.uniform(-60.0, 340.0, size=(5, 81, 1)))
+    cy = jnp.asarray(rng.uniform(-2.0, 6.0, size=(5, 81, 1)))
+    for lane in (win.lanes[0], full.lanes[0]):
+        a, b, c, edge = _nearest_lane_sel_discs(cx, cy, lane)
+        for d in range(5):
+            ad, bd, cd, ed = _nearest_lane_sel_discs(
+                cx[d:d + 1], cy[d:d + 1], lane)
+            np.testing.assert_array_equal(np.asarray(a[d]), np.asarray(ad[0]))
+            np.testing.assert_array_equal(np.asarray(b[d]), np.asarray(bd[0]))
+            np.testing.assert_array_equal(np.asarray(c[d]), np.asarray(cd[0]))
+            if edge is not None:
+                np.testing.assert_array_equal(np.asarray(edge[d]),
+                                              np.asarray(ed[0]))
 
 
 # long enough for the obstacle samplers (dynamic vehicles need

@@ -11,6 +11,14 @@ import subprocess
 import sys
 
 import numpy as np
+import pytest
+
+# Both tests spawn 2 compile-heavy jax.distributed child processes; on the
+# 2-core CI box they must never run concurrently with each other (4 child
+# compiles + 2 xdist workers blows the children's wall budget). The
+# xdist_group + --dist loadgroup (pyproject.toml) pins them to one worker,
+# serialized.
+pytestmark = pytest.mark.xdist_group("jax_distributed_subprocess")
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 
@@ -40,7 +48,7 @@ def _run_workers(nproc, B, mode):
     outs = []
     try:
         for w in workers:
-            out, _ = w.communicate(timeout=600)
+            out, _ = w.communicate(timeout=900)
             outs.append(out)
     finally:
         for w in workers:
