@@ -108,9 +108,10 @@ def sharded_pipeline_step(cfg: PlannerConfig, mesh: Mesh, grid, lane,
         stats = device_metrics(out.solve)
         stats["dp_ok"] = out.dp_ok.sum().astype(jnp.float32)
         stats["ok"] = out.ok.sum().astype(jnp.float32)
-        # executed-horizon safety: lanes whose first 25 knots re-check dirty
+        # executed-horizon safety: lanes whose near-term knots re-check dirty
+        near = pipeline_mod.NEAR_TERM_KNOTS
         stats["near_hit_lanes"] = (
-            out.solve_hits[..., :25].any(-1).sum().astype(jnp.float32))
+            out.solve_hits[..., :near].any(-1).sum().astype(jnp.float32))
         stats = {k: jax.lax.psum(v, "batch") for k, v in stats.items()}
         return out, stats
 

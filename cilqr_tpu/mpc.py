@@ -46,6 +46,19 @@ class MpcStepOut(NamedTuple):
     # window in cycle k is visible at the API instead of vanishing inside
     # the scan carry.
     lane_clipped: jnp.ndarray
+    # executed-horizon safety re-check of THIS cycle's output plan: does
+    # any of the first pipeline.NEAR_TERM_KNOTS knots' two-disc probes
+    # (at the cycle's ABSOLUTE knot times — dynamic obstacles have
+    # advanced) hit an obstacle or road barrier? This is the same gate
+    # PlanOutput.solve_hits gives the one-shot pipeline, applied where it
+    # matters most: the receding-horizon loop is the code path that
+    # actually EXECUTES plans (the reference animates its output with no
+    # re-check at all, planning_node.cc:82-112). The repo's f32 posture
+    # (docs/PERF.md) is "callers gate the horizon they execute" — this
+    # field is that gate, per cycle. All-False = safe to execute.
+    near_hits: jnp.ndarray = None
+    # the full per-knot re-check mask [.., N] behind near_hits
+    solve_hits: jnp.ndarray = None
 
 
 def _lane_clipped_of(res: SolveResult):
@@ -64,10 +77,12 @@ def _shift_plan(xs, us):
 
 
 def mpc_step(scn: Scenario, carry: MpcCarry, cfg: PlannerConfig,
-             grid, lane) -> tuple[MpcCarry, MpcStepOut]:
+             grid, lane, spec=None) -> tuple[MpcCarry, MpcStepOut]:
     """One replan cycle: shift, rebuild corridors at shifted absolute times,
-    warm-started solve. Surfaces per-cycle corridor validity (cors.ok) —
-    the reference silently proceeds on corridor failure."""
+    warm-started solve, then the executed-horizon collision re-check of the
+    new plan at the cycle's absolute knot times. Surfaces per-cycle
+    corridor validity (cors.ok) — the reference silently proceeds on
+    corridor failure."""
     goals, warm_us = _shift_plan(carry.xs, carry.us)
     t_new = carry.cycle_time + cfg.delta_t
     n = goals.shape[0]
@@ -85,13 +100,16 @@ def mpc_step(scn: Scenario, carry: MpcCarry, cfg: PlannerConfig,
     start_state = goals[0]
     res = solver_mod.solve(goals, start_state, cons, cfg.ilqr, cfg.vehicle,
                            cfg.delta_t, warm_start=(goals, warm_us))
+    hits = pipeline_mod._recheck_solution(scn, res.xs, cfg, spec, t0=t_new)
     out = MpcStepOut(solve=res, corridor_ok=cors.ok.all(),
-                     lane_clipped=_lane_clipped_of(res))
+                     lane_clipped=_lane_clipped_of(res),
+                     near_hits=hits[:pipeline_mod.NEAR_TERM_KNOTS].any(),
+                     solve_hits=hits)
     return MpcCarry(xs=res.xs, us=res.us, cycle_time=t_new), out
 
 
 def mpc_step_batch(scns: Scenario, carry: MpcCarry, cfg: PlannerConfig,
-                   lane, backend: str = "blast"
+                   lane, backend: str = "blast", spec=None
                    ) -> tuple[MpcCarry, MpcStepOut]:
     """Batched replan cycle (BASELINE config 4 throughput path): every
     carry leaf and scns leaf has a leading batch axis [B]; corridors are
@@ -120,8 +138,15 @@ def mpc_step_batch(scns: Scenario, carry: MpcCarry, cfg: PlannerConfig,
     res = solve_batch(goals, goals[:, 0], cons, cfg.ilqr, cfg.vehicle,
                       cfg.delta_t, warm_start=(goals, warm_us),
                       backend=backend)
+    hits = jax.vmap(
+        lambda s, x, t0: pipeline_mod._recheck_solution(s, x, cfg, spec,
+                                                        t0=t0)
+    )(scns, res.xs, t_new)
     out = MpcStepOut(solve=res, corridor_ok=cors.ok.all(axis=-1),
-                     lane_clipped=_lane_clipped_of(res))
+                     lane_clipped=_lane_clipped_of(res),
+                     near_hits=hits[:, :pipeline_mod.NEAR_TERM_KNOTS]
+                     .any(axis=1),
+                     solve_hits=hits)
     return MpcCarry(xs=res.xs, us=res.us, cycle_time=t_new), out
 
 
@@ -144,10 +169,12 @@ def run_mpc(scn: Scenario, start, cfg: PlannerConfig, n_cycles: int,
     out0 = pipeline_mod.plan(scn, start, cfg, grid, lane, spec=spec)
     carry = MpcCarry(xs=out0.solve.xs, us=out0.solve.us,
                      cycle_time=jnp.zeros((), out0.solve.xs.dtype))
-    step = jax.jit(lambda c: mpc_step(scn, c, cfg, grid, lane))
+    step = jax.jit(lambda c: mpc_step(scn, c, cfg, grid, lane, spec=spec))
+    near0 = out0.solve_hits[:pipeline_mod.NEAR_TERM_KNOTS].any()
     results = [MpcStepOut(solve=out0.solve,
                           corridor_ok=out0.corridors.ok.all(),
-                          lane_clipped=_lane_clipped_of(out0.solve))]
+                          lane_clipped=_lane_clipped_of(out0.solve),
+                          near_hits=near0, solve_hits=out0.solve_hits)]
     for _ in range(n_cycles):
         carry, out = step(carry)
         results.append(out)
@@ -155,27 +182,32 @@ def run_mpc(scn: Scenario, start, cfg: PlannerConfig, n_cycles: int,
 
 
 def mpc_scan(scn: Scenario, carry: MpcCarry, cfg: PlannerConfig, grid, lane,
-             n_cycles: int):
+             n_cycles: int, spec=None):
     """Fully-jitted MPC rollout via lax.scan (for benchmarking): returns
-    (final carry, stacked (status, iters, final cost, corridor_ok))."""
+    (final carry, stacked (status, iters, final cost, corridor_ok,
+    lane_clipped, near_hits))."""
     def body(c, _):
-        c2, out = mpc_step(scn, c, cfg, grid, lane)
+        c2, out = mpc_step(scn, c, cfg, grid, lane, spec=spec)
         return c2, (out.solve.status, out.solve.iters,
                     out.solve.cost.total, out.corridor_ok,
-                    out.lane_clipped)
+                    out.lane_clipped, out.near_hits)
 
     return jax.lax.scan(body, carry, None, length=n_cycles)
 
 
 def mpc_scan_batch(scns: Scenario, carry: MpcCarry, cfg: PlannerConfig,
-                   lane, n_cycles: int, backend: str = "blast"):
+                   lane, n_cycles: int, backend: str = "blast", spec=None):
     """Fully-jitted BATCHED MPC rollout: n_cycles of mpc_step_batch.
     Returns (final carry, stacked [C, B] (status, iters, cost,
-    corridor_ok, lane_clipped)) — the BENCH_MODE=mpc workload."""
+    corridor_ok, lane_clipped, near_hits)) — the BENCH_MODE=mpc
+    workload. near_hits is the per-cycle executed-horizon safety gate
+    (MpcStepOut.near_hits); it rides the scan output so the bench can
+    report a per-(cycle, lane) safety count, not just convergence."""
     def body(c, _):
-        c2, out = mpc_step_batch(scns, c, cfg, lane, backend=backend)
+        c2, out = mpc_step_batch(scns, c, cfg, lane, backend=backend,
+                                 spec=spec)
         return c2, (out.solve.status, out.solve.iters,
                     out.solve.cost.total, out.corridor_ok,
-                    out.lane_clipped)
+                    out.lane_clipped, out.near_hits)
 
     return jax.lax.scan(body, carry, None, length=n_cycles)

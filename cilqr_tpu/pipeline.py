@@ -24,6 +24,14 @@ from .types import CorridorSet, Scenario, SolveResult, Traj
 from .world import BarrierGrid, build_barrier_grid
 
 
+# knots of the re-checked "executed" horizon (2.5 s at delta_t=0.1): the
+# measured far-tail residual-violation phenomenon starts at knot >= ~30 in
+# both precisions (tests/test_pipeline_f32_gate.py, docs/PERF.md), so a
+# clean [0, 25) prefix is the safety gate for the part of the plan a
+# receding-horizon deployment can actually execute before replanning.
+NEAR_TERM_KNOTS = 25
+
+
 class PlanOutput(NamedTuple):
     coarse: Traj
     dp_ok: jnp.ndarray
@@ -76,15 +84,17 @@ def make_lane_tuple(scn_left_barrier, scn_right_barrier, cfg: PlannerConfig,
         cfg.corridor, dtype)
 
 
-def _recheck_solution(scn: Scenario, xs, cfg: PlannerConfig, spec):
+def _recheck_solution(scn: Scenario, xs, cfg: PlannerConfig, spec, t0=0.0):
     """Per-knot collision mask of one optimized trajectory (PlanOutput.
     solve_hits): two-disc probe at each knot's absolute time, finite
     road-spec barrier test when the spec is known, brute-force exact
-    otherwise. ~81 probes — noise next to the solve."""
+    otherwise. ~81 probes — noise next to the solve. t0 is the absolute
+    time of knot 0 (nonzero in the MPC loop, where dynamic obstacles have
+    advanced by the cycle count)."""
     from . import world
 
     n = xs.shape[0]
-    times = cfg.delta_t * jnp.arange(n, dtype=xs.dtype)
+    times = t0 + cfg.delta_t * jnp.arange(n, dtype=xs.dtype)
     # knot times are fixed: resolve the dynamic obstacles once per
     # scenario instead of per-(knot, obstacle) track gathers (the same
     # hoist the DP probe sweep uses — per-element gathers are the poison)

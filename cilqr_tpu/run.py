@@ -239,9 +239,11 @@ def main(argv=None):
         statuses = [SolverStatus(int(r.solve.status)).name for r in results]
         iters = [int(r.solve.iters) for r in results]
         cor_ok = sum(bool(r.corridor_ok) for r in results)
+        near_dirty = sum(bool(r.near_hits) for r in results)
         print(f"mpc cycles={args.cycles} wall={wall:.2f}s "
               f"iters: first={iters[0]} mean_rest={np.mean(iters[1:]):.1f} "
-              f"corridor_ok={cor_ok}/{len(results)}")
+              f"corridor_ok={cor_ok}/{len(results)} "
+              f"executed-horizon dirty={near_dirty}/{len(results)}")
         print("statuses:", {s: statuses.count(s) for s in set(statuses)})
         return 0
 

@@ -130,6 +130,14 @@ def test_mpc_warm_start_converges_faster():
         assert not hit[:25].any(), (
             f"cycle {cycle}: near-term collision at knots "
             f"{np.nonzero(hit[:25])[0].tolist()}")
+        # the SAME gate must now be visible at the MPC API: MpcStepOut
+        # carries the per-cycle executed-horizon re-check (near_hits +
+        # the full per-knot mask), computed at the cycle's absolute knot
+        # times inside mpc_step — cross-check it against the manual
+        # re-check above
+        np.testing.assert_array_equal(np.asarray(r.solve_hits), hit,
+                                      err_msg=f"cycle {cycle}")
+        assert not bool(r.near_hits), f"cycle {cycle}"
         # tail-violation counts swing with the solver's threshold-chaotic
         # stopping decisions (docs/PERF.md "fp sensitivity"); a loose
         # fraction bound backstops gross regressions without pinning them
@@ -165,12 +173,54 @@ def test_mpc_blast_rollout_lane_window_stays_clean():
     out0 = pipeline.plan_batch(scns, starts, cfg, None, lane, spec=spec)
     carry = mpc.MpcCarry(xs=out0.solve.xs, us=out0.solve.us,
                          cycle_time=jnp.zeros((2,), jnp.float64))
-    _, (status, iters, cost, cor_ok, clipped) = mpc.mpc_scan_batch(
-        scns, carry, cfg, lane, n_cycles=8, backend="blast")
+    _, (status, iters, cost, cor_ok, clipped, near_hits) = \
+        mpc.mpc_scan_batch(scns, carry, cfg, lane, n_cycles=8,
+                           backend="blast", spec=spec)
     assert clipped.shape == (8, 2)
     assert (np.asarray(status) != SolverStatus.RUNNING).all()
     assert np.asarray(cor_ok).all()
     assert not np.asarray(clipped).any(), np.nonzero(np.asarray(clipped))
+    # the executed-horizon safety re-check (MpcStepOut.near_hits) must
+    # stay clean across the whole warm-started rollout — this is the gate
+    # the deployment loop executes plans under
+    assert near_hits.shape == (8, 2)
+    assert not np.asarray(near_hits).any(), np.nonzero(np.asarray(near_hits))
+
+
+def test_mpc_lane_clip_guard_fires_through_scan_batch():
+    """FIRE witness for the MPC drift guard (VERDICT r3 item 7): with a
+    lane window much smaller than the goal road (W=2 segments of 1 m vs a
+    ~230 m road) the solver's disc probes — spread over the vehicle's
+    ~2.9 m length — MUST argmin onto a clipped window edge every cycle,
+    and mpc_scan_batch must surface lane_clipped=True at the cycle API.
+    Together with test_mpc_blast_rollout_lane_window_stays_clean (the
+    no-fire witness on the standard configuration) this pins both sides
+    of the guard through the batched scan path."""
+    import dataclasses
+
+    from cilqr_tpu import mpc, pipeline, scenario
+
+    cfg = PlannerConfig()
+    cfg = dataclasses.replace(
+        cfg,
+        corridor=dataclasses.replace(cfg.corridor, lane_segment_length=1.0,
+                                     max_lane_segments=256),
+        ilqr=dataclasses.replace(cfg.ilqr, lane_window=2))
+    scns = scenario.make_scenario_batch([1], dtype=jnp.float64)
+    scn0 = jax.tree.map(lambda a: a[0], scns)
+    lane = pipeline.make_lane_tuple(scn0.left_barrier_xy,
+                                    scn0.right_barrier_xy, cfg)
+    spec = scenario.analytic_road_spec()
+    starts = jnp.tile(jnp.asarray([0.0, 0.0, 0.0, 10.0], jnp.float64), (1, 1))
+    out0 = pipeline.plan_batch(scns, starts, cfg, None, lane, spec=spec)
+    carry = mpc.MpcCarry(xs=out0.solve.xs, us=out0.solve.us,
+                         cycle_time=jnp.zeros((1,), jnp.float64))
+    _, (status, iters, cost, cor_ok, clipped, near_hits) = \
+        mpc.mpc_scan_batch(scns, carry, cfg, lane, n_cycles=3,
+                           backend="blast", spec=spec)
+    clipped = np.asarray(clipped)
+    assert clipped.shape == (3, 1)
+    assert clipped.all(), clipped   # the guard fires at every cycle
 
 
 def test_mpc_step_batch_matches_single():
@@ -205,6 +255,8 @@ def test_mpc_step_batch_matches_single():
         assert bool(ob.corridor_ok[i]) == bool(o1.corridor_ok)
         np.testing.assert_allclose(np.asarray(ob.solve.us[i]),
                                    np.asarray(o1.solve.us), atol=1e-9)
+        # batched executed-horizon re-check agrees with the single-step one
+        assert bool(ob.near_hits[i]) == bool(o1.near_hits)
 
 
 def test_tracker_follows_straight_line():
