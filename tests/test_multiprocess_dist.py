@@ -96,9 +96,16 @@ def test_two_process_distributed_pipeline_matches_single_process():
     process contributing its own scenario shard; the psum-reduced global
     stats must match a single-process plan_batch of the identical batch
     (f64: per-lane decisions are width-independent there, see
-    test_batch_dist.py's single-process sharded-vs-unsharded gate)."""
+    test_batch_dist.py's single-process sharded-vs-unsharded gate).
+
+    B=64 (8 scenarios per device, round 4): wide enough that the blast
+    solver's converged-lane compaction cascade actually engages on each
+    device shard (at the old B=8 every shard ran one lane and the
+    cascade degenerated); the full production width (64/device = 512) is
+    exercised by __graft_entry__.dryrun_multichip, which this suite's
+    2-core box cannot afford per run at f64."""
     nproc = 2
-    B = 8
+    B = 64
     stats = _run_workers(nproc, B, "pipeline")
     assert stats["n_processes"] == nproc
     assert stats["n_devices"] == 8
@@ -128,11 +135,17 @@ def test_two_process_distributed_pipeline_matches_single_process():
     assert stats["ok"] == want["ok"] == B
     assert stats["dp_ok"] == want["dp_ok"] == B
     # per-lane decisions are width-independent in POSITION but not WIDTH:
-    # the 2-process mesh solves at per-device width 1 vs the reference's
-    # width 8, and threshold-chaotic lanes can fork (docs/PERF.md "fp
+    # the 2-process mesh solves at per-device width 8 vs the reference's
+    # width 64, and threshold-chaotic lanes can fork (docs/PERF.md "fp
     # sensitivity"; cf. test_batch_dist's 2-lane allowance). Bound the
-    # aggregate drift rather than pinning bitwise sums.
-    assert abs(stats["iters_sum"] - want["iters_sum"]) <= 30, (
+    # aggregate drift rather than pinning bitwise sums (scaled from the
+    # B=8 test's 30-iteration allowance).
+    assert abs(stats["iters_sum"] - want["iters_sum"]) <= 150, (
         stats["iters_sum"], want["iters_sum"])
+    # cost_sum is a 64-lane aggregate: each width-forked chaotic lane can
+    # move its own cost by ~+-20% (~0.3% of the sum), and a handful fork
+    # at this width (measured 2.7% drift on the first run) — 5% bounds
+    # the fork population without flaking, while a wiring bug (stale
+    # shard, wrong corridor times) still blows it by an order.
     np.testing.assert_allclose(stats["cost_sum"], want["cost_sum"],
-                               rtol=1e-2)
+                               rtol=5e-2)

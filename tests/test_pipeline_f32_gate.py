@@ -31,7 +31,19 @@ Gates:
      worse (measured 17/15);
   E: executed-horizon safety — at most 2/64 lanes with any re-check hit
      in the first 25 knots, in BOTH precisions (measured 1, the same
-     lane both times).
+     lane both times);
+  F (bench scale, round 4): the near-dirty rate over the bench's FULL
+     seed population 0..255 (f32, four B=64 chunks sharing gate A-E's
+     compiled program) stays inside the characterized tail, and the
+     bench's start perturbation does not create dirt beyond jitter.
+     Round-4 reconciliation of BENCH_r03's 71/2048 vs gate E's 1/64
+     (/tmp-scale diagnosis now recorded in docs/PERF.md): the dirt is
+     SCENARIO-specific, not perturbation-created — unperturbed B=256
+     already shows 5/256 (lanes 40/145/156/163/240), the same lanes
+     recur across perturbation draws, and per-lane diagnosis shows
+     shallow penetrations (0.007-0.3 m, mostly road-barrier grazes; the
+     worst, seed 156's 0.3 m static-vehicle graze, reproduces in BOTH
+     precisions) left by the reference's rel-cost stopping rule.
 """
 
 import jax
@@ -118,6 +130,9 @@ def test_full_pipeline_f32_gates():
     assert int((rel[agree] > 0.20).sum()) <= 16, (
         int((rel[agree] > 0.20).sum()), np.nonzero(rel > 0.20)[0])
 
+    # gate F companion runs in test_bench_population_near_dirty_gate below
+    # (B=64-shaped chunks over seeds 0..255).
+
     # gate E: executed-horizon safety via the new re-check. Measured: ALL
     # violations (both precisions, including the cost-catastrophic f32
     # lanes) are confined to the far tail (first hit at knot >= 29 except
@@ -129,3 +144,44 @@ def test_full_pipeline_f32_gates():
     near32 = np.asarray(o32.solve_hits)[:, :25].any(axis=1)
     assert int(near64.sum()) <= 2, np.nonzero(near64)[0]
     assert int(near32.sum()) <= 2, np.nonzero(near32)[0]
+
+
+def _run_chunk(seeds, dy=None):
+    """One B=64 f32 pipeline chunk (same shapes as _run -> same compiled
+    program); returns the near-dirty lane count."""
+    cfg = PlannerConfig()
+    scns = scenario.make_scenario_batch(seeds, dtype=jnp.float32)
+    scn0 = jax.tree.map(lambda a: a[0], scns)
+    lane = pipeline.make_lane_tuple(scn0.left_barrier_xy,
+                                    scn0.right_barrier_xy, cfg, np.float32)
+    spec = scenario.analytic_road_spec(dtype=np.float32)
+    starts = jnp.tile(jnp.asarray([0.0, 0.0, 0.0, 10.0], jnp.float32),
+                      (len(seeds), 1))
+    if dy is not None:
+        starts = starts.at[:, 1].add(jnp.asarray(dy, jnp.float32))
+    out = pipeline.plan_batch(scns, starts, cfg, None, lane, spec=spec)
+    near = np.asarray(out.solve_hits)[:, :pipeline.NEAR_TERM_KNOTS]
+    return int(near.any(axis=1).sum())
+
+
+def test_bench_population_near_dirty_gate():
+    """Gate F: pin the executed-horizon near-dirty rate at bench scale.
+
+    (a) Over the full bench seed population 0..255, unperturbed, the
+        near-dirty count per 64-seed chunk stays <= 6 and the total
+        <= 14 (measured 5/256 at B=256 width; chunk counts can jitter a
+        few lanes through XLA's width-dependent reassociation on the
+        threshold-chaotic subpopulation, docs/PERF.md "fp sensitivity").
+    (b) The bench's +-0.2 m start perturbation (its exact rng recipe)
+        does not CREATE dirt: the perturbed count on the dirtiest chunk
+        stays within +3 of its unperturbed count (measured: same lanes,
+        +-1 across draws)."""
+    counts = [_run_chunk(range(k, k + 64)) for k in (0, 64, 128, 192)]
+    for k, c in zip((0, 64, 128, 192), counts):
+        assert c <= 6, (k, c)
+    assert sum(counts) <= 14, counts
+
+    rng = np.random.default_rng(1)
+    dy = rng.uniform(-0.2, 0.2, 64)
+    perturbed = _run_chunk(range(128, 192), dy=dy)
+    assert perturbed <= counts[2] + 3, (perturbed, counts[2])
