@@ -371,6 +371,12 @@ def main():
 
         cfg = cfg.replace(ilqr=dataclasses.replace(
             cfg.ilqr, lane_search=lane_search))
+    trip_cap = os.environ.get("BENCH_TRIP_CAP")
+    if trip_cap is not None:
+        import dataclasses
+
+        cfg = cfg.replace(ilqr=dataclasses.replace(
+            cfg.ilqr, compaction_phase1_trips=int(trip_cap)))
     ilqr = cfg.ilqr
     veh = cfg.vehicle
     dt = cfg.delta_t

@@ -200,6 +200,20 @@ class IlqrConfig:
     # batch of stragglers at half-width trip cost).
     compaction_phase1: int = 3
     compaction_factor: int = 2
+    # Trip cap on phase 1 (solver_blast._run_carry): bounds the number of
+    # full-width LINE-SEARCH steps before compaction, not just concluded
+    # iterations. Profiled round 4 at B=1024: the iteration-only cap let
+    # the most rejection-heavy lane hold the whole batch at full width
+    # for ~32 trips to conclude 3 iterations; a trip cap hands those
+    # stragglers to the half-width cascade. Scheduling-only: lanes resume
+    # mid-line-search (aidx carry), per-lane decisions unchanged
+    # (tests/test_solver_blast.py pins it). 0 disables. Swept on the TPU
+    # fixture at B=1024 (solves/s): {0: 7290, 8: 6843, 12: 6777,
+    # 16: 7497, 20: 7536, 24: 7903/7784/7851 (3 runs), 28: 7579,
+    # 32: 7306, 48: 7325, 64: 7308} — small caps pay more in extra
+    # cascade rounds than they save, the 24-trip cap retires ~all of the
+    # batch's accepted work first and hands only the true stragglers down.
+    compaction_phase1_trips: int = 24
     # Riccati backward+forward sweep implementation (solver_blast):
     # 'pallas' = fused VMEM-resident kernel (pallas/sweep.py) — the
     # sequential 160-step chain runs at on-chip latency instead of XLA's

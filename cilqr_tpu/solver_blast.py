@@ -703,9 +703,20 @@ def _make_body(goals, cbl, cfg: IlqrConfig, veh: VehicleParam, dt, dtype, T_):
 
 
 def _run_carry(carry: _CarryBL, goals, cbl, cfg, veh, dt,
-               iter_cap: int) -> _CarryBL:
+               iter_cap: int, trip_cap: int = 0) -> _CarryBL:
     """Run the outer loop until every lane concludes or reaches iter_cap
-    ITERATIONS (statuses stay RUNNING at the cap so a later run resumes)."""
+    ITERATIONS (statuses stay RUNNING at the cap so a later run resumes).
+
+    trip_cap > 0 additionally bounds the number of while-loop TRIPS
+    (line-search steps). One iteration can cost many trips — each alpha
+    rejection burns a full-width trip — so an iteration-capped phase 1
+    makes the whole batch wait on its most rejection-heavy lane at FULL
+    width (profiled round 4: ~32 full-width trips to conclude 3
+    iterations at B=1024). A trip cap hands stragglers to the compaction
+    cascade instead. Purely a scheduling boundary: lanes resume
+    mid-line-search via the aidx carry, so per-lane decision sequences
+    are unchanged (the compaction bitwise-equivalence argument covers
+    it)."""
     body = _make_body(goals, cbl, cfg, veh, dt, goals.dtype,
                       goals.shape[1] - 1)
 
@@ -713,7 +724,20 @@ def _run_carry(carry: _CarryBL, goals, cbl, cfg, veh, dt,
         return ((c.status == SolverStatus.RUNNING)
                 & (c.it < iter_cap)).any()
 
-    return jax.lax.while_loop(cond, body, carry)
+    if not trip_cap:
+        return jax.lax.while_loop(cond, body, carry)
+
+    def cond_t(state):
+        c, t = state
+        return cond(c) & (t < trip_cap)
+
+    def body_t(state):
+        c, t = state
+        return body(c), t + 1
+
+    out, _ = jax.lax.while_loop(cond_t, body_t,
+                                (carry, jnp.zeros((), jnp.int32)))
+    return out
 
 
 def _bl(a):
@@ -836,7 +860,8 @@ def solve_batch_compact(goals_bf, starts, cons: ConstraintSet,
     B = goals_bf.shape[0]
     goals_first, goals, cbl, init, xs0_bf, us0_bf = _prep(
         goals_bf, starts, cons, cfg, veh, dt, warm_start)
-    c1 = _run_carry(init, goals, cbl, cfg, veh, dt, cfg.compaction_phase1)
+    c1 = _run_carry(init, goals, cbl, cfg, veh, dt, cfg.compaction_phase1,
+                    trip_cap=cfg.compaction_phase1_trips)
     st = _carry_to_bf(c1)
 
     def one_round(s: _StateBF, width: int, cap: int) -> _StateBF:

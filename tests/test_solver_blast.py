@@ -144,14 +144,21 @@ def test_compaction_matches_single_phase_fixture():
     goals, starts = take("goals"), take("starts")
     c1 = dataclasses.replace(CFG, compaction_phase1=0)
     c2 = dataclasses.replace(CFG, compaction_phase1=6, compaction_factor=4)
+    # aggressive TRIP cap (round 4): phase 1 ends after 4 line-search
+    # steps regardless of concluded iterations — lanes hand over to the
+    # cascade mid-line-search (aidx carry). Still decision-identical.
+    c3 = dataclasses.replace(CFG, compaction_phase1=6, compaction_factor=4,
+                             compaction_phase1_trips=4)
     r1 = solve_batch_bl(goals, starts, cons, c1, VEH, DT)
-    r2 = solve_batch_bl(goals, starts, cons, c2, VEH, DT)
-    np.testing.assert_array_equal(np.asarray(r1.iters), np.asarray(r2.iters))
-    np.testing.assert_array_equal(np.asarray(r1.status),
-                                  np.asarray(r2.status))
-    np.testing.assert_array_equal(np.asarray(r1.lam), np.asarray(r2.lam))
-    np.testing.assert_allclose(np.asarray(r2.us), np.asarray(r1.us),
-                               atol=1e-12)
+    for cx in (c2, c3):
+        r2 = solve_batch_bl(goals, starts, cons, cx, VEH, DT)
+        np.testing.assert_array_equal(np.asarray(r1.iters),
+                                      np.asarray(r2.iters))
+        np.testing.assert_array_equal(np.asarray(r1.status),
+                                      np.asarray(r2.status))
+        np.testing.assert_array_equal(np.asarray(r1.lam), np.asarray(r2.lam))
+        np.testing.assert_allclose(np.asarray(r2.us), np.asarray(r1.us),
+                                   atol=1e-12)
 
 
 def test_trim_constraints_exact():
