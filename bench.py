@@ -377,6 +377,12 @@ def main():
 
         cfg = cfg.replace(ilqr=dataclasses.replace(
             cfg.ilqr, compaction_phase1_trips=int(trip_cap)))
+    cs_backend = os.environ.get("BENCH_COST_STACK")
+    if cs_backend:
+        import dataclasses
+
+        cfg = cfg.replace(ilqr=dataclasses.replace(
+            cfg.ilqr, cost_stack_backend=cs_backend))
     ilqr = cfg.ilqr
     veh = cfg.vehicle
     dt = cfg.delta_t

@@ -214,6 +214,15 @@ class IlqrConfig:
     # cascade rounds than they save, the 24-trip cap retires ~all of the
     # batch's accepted work first and hands only the true stragglers down.
     compaction_phase1_trips: int = 24
+    # Corridor+lane cost-stack implementation (solver_blast._cost_stack_bl):
+    # 'pallas' = fused VMEM kernel (pallas/coststack.py) computing
+    # distances, nearest-segment selection, barriers, Jacobian rows and
+    # (x, y, theta) Hessian entries in one pass per (knot, 128-lane
+    # block); 'xla' = the jnp formulation; 'auto' = pallas on TPU when
+    # eligible (f32, windowed lanes, B a multiple of 128), else xla.
+    # Like the sweep kernel, bitwise-equal to XLA only up to fusion
+    # rounding — decision parity is pinned by the fixture gates.
+    cost_stack_backend: str = "xla"
     # Riccati backward+forward sweep implementation (solver_blast):
     # 'pallas' = fused VMEM-resident kernel (pallas/sweep.py) — the
     # sequential 160-step chain runs at on-chip latency instead of XLA's

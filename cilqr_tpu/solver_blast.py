@@ -411,6 +411,42 @@ def _cost_stack_bl(xs, us, goals, cbl: ConsBL, cfg, veh, want_derivs):
                 ju1 = ju1 + bar.grad_factor(g) * s
             hu[(i, i)] = hu[(i, i)] + bar.hess_factors(g)[0]
 
+    if _use_coststack_kernel(cfg, cbl, xs):
+        # fused Pallas corridor+lane stack (pallas/coststack.py): one
+        # kernel pass per (knot, 128-lane block) replaces the disc loop
+        # below; same math, bitwise-equal to XLA up to fusion rounding
+        from .pallas.coststack import corridor_lane_stack
+
+        Dn = cfg.num_of_disc
+        Lv = veh.length / Dn
+        offs_py = tuple(Lv * (i - 0.5) - veh.rear_hang_length
+                        for i in range(Dn))
+        res = corridor_lane_stack(
+            xs, (cbl.ca, cbl.cb, cbl.cc, cbl.cm), cbl.lanes, offs_py,
+            cfg.barrier.t, cfg.barrier.epsilon, want_derivs=want_derivs,
+            interpret=jax.default_backend() == "cpu")
+        corrk = res[0]
+        lanek = res[1]
+        clip = (res[2] > 0.5).any(axis=0)
+        if want_derivs:
+            jx0k, jx1k, jx2k, h00, h01, h02, h11, h12, h22 = res[3:]
+            jx[0] = jx[0] + jx0k
+            jx[1] = jx[1] + jx1k
+            jx[2] = jx[2] + jx2k
+            hadd(0, 0, h00)
+            hadd(0, 1, h01)
+            hadd(0, 2, h02)
+            hadd(1, 1, h11)
+            hadd(1, 2, h12)
+            hadd(2, 2, h22)
+        return _combine_cost_stack(xs, us, goals, cfg, want_derivs,
+                                   j_cost, dyn_cost, jk_x, jk_u, dynk_x,
+                                   dynk_u, corrk, lanek, clip,
+                                   jx if want_derivs else None,
+                                   hx if want_derivs else None,
+                                   (ju0, ju1) if want_derivs else None,
+                                   hu if want_derivs else None)
+
     D = int(offs.shape[0])
     # all-disc centers [D, N, B]; the lane-segment searches run ONCE over
     # the stacked disc axis (see _nearest_lane_sel_discs), then the
@@ -472,6 +508,43 @@ def _cost_stack_bl(xs, us, goals, cbl: ConsBL, cfg, veh, want_derivs):
                         hadd(i, j, lhf * lcmp[i] * lcmp[j])
                 hadd(2, 2, lhd * lddx22)
 
+    return _combine_cost_stack(xs, us, goals, cfg, want_derivs,
+                               j_cost, dyn_cost, jk_x, jk_u, dynk_x,
+                               dynk_u, corrk, lanek, clip,
+                               jx if want_derivs else None,
+                               hx if want_derivs else None,
+                               (ju0, ju1) if want_derivs else None,
+                               hu if want_derivs else None)
+
+
+def _use_coststack_kernel(cfg, cbl: ConsBL, xs) -> bool:
+    """Eligibility for the fused Pallas corridor+lane stack
+    (IlqrConfig.cost_stack_backend): windowed lanes, whole 128-lane
+    blocks; 'auto' additionally requires the TPU backend + f32 (the
+    kernel runs in interpret mode on CPU, which only tests use)."""
+    mode = cfg.cost_stack_backend
+    if mode == "xla":
+        return False
+    from .pallas.coststack import NB as _CNB
+
+    lane0 = cbl.lanes[0]
+    eligible = (lane0[0].ndim == 3 and lane0[8] is not None
+                and xs.shape[2] % _CNB == 0)
+    if mode == "pallas":
+        return eligible
+    return (eligible and jax.default_backend() != "cpu"
+            and xs.dtype == jnp.float32)
+
+
+def _combine_cost_stack(xs, us, goals, cfg, want_derivs, j_cost, dyn_cost,
+                        jk_x, jk_u, dynk_x, dynk_u, corrk, lanek, clip,
+                        jx, hx, ju, hu):
+    """Assemble _cost_stack_bl's outputs from the tracking/limit terms
+    plus the corridor/lane accumulations (XLA or Pallas path)."""
+    dtype = xs.dtype
+    N = xs.shape[1]
+    T = us.shape[1]
+    B = xs.shape[2]
     corr_cost = jnp.sum(corrk, axis=0)
     lane_cost = jnp.sum(lanek, axis=0)
     cost = CostBreakdown(total=j_cost + dyn_cost + corr_cost + lane_cost,
@@ -482,6 +555,7 @@ def _cost_stack_bl(xs, us, goals, cbl: ConsBL, cfg, veh, want_derivs):
     if not want_derivs:
         return cost, pk, clip
 
+    ju0, ju1 = ju
     zeros_nb = jnp.zeros((N, B), dtype)
     Jx = jnp.stack(jx, axis=1)                          # [N, 6, B]
     Hx = jnp.stack([

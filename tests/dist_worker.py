@@ -50,6 +50,18 @@ def main():
     init_distributed(args.coordinator, args.nproc, args.pid)
     assert jax.process_count() == args.nproc, jax.process_count()
 
+    def barrier(name, timeout_ms=600_000):
+        """Align all processes via the COORDINATION service (generous
+        timeout) before the first gloo collective: the gloo rendezvous
+        KV get has a hard ~30 s deadline, and per-process COMPILE skew
+        under CPU contention exceeds it (the round-4 suite flake —
+        'Gloo context initialization failed: DEADLINE_EXCEEDED'). AOT
+        compile + barrier + execute keeps the skew out of gloo's
+        window."""
+        from jax._src import distributed
+
+        distributed.global_state.client.wait_at_barrier(name, timeout_ms)
+
     import jax.numpy as jnp
 
     mesh = make_batch_mesh()  # global mesh: all processes' devices
@@ -80,7 +92,9 @@ def main():
         local = jax.tree.map(lambda a: a[lo:hi], (scns, starts))
         g_scns, g_starts = global_batch(mesh, local)
         step = sharded_pipeline_step(cfg, mesh, None, lane, road_spec=spec)
-        out, stats = step(g_scns, g_starts)
+        compiled = step.lower(g_scns, g_starts).compile()
+        barrier("pipeline_post_compile")
+        out, stats = compiled(g_scns, g_starts)
         jax.block_until_ready(stats)
     else:
         from __graft_entry__ import _synthetic_problem
@@ -91,7 +105,9 @@ def main():
         g_goals, g_starts, g_cons = global_batch(mesh, local)
 
         step = sharded_solve_step(cfg, mesh)
-        res, stats = step(g_goals, g_starts, g_cons)
+        compiled = step.lower(g_goals, g_starts, g_cons).compile()
+        barrier("solve_post_compile")
+        res, stats = compiled(g_goals, g_starts, g_cons)
         jax.block_until_ready(stats)
 
     if jax.process_index() == 0:
