@@ -79,6 +79,10 @@ def _pipeline_bench(latency: bool):
     DP_MODE = os.environ.get("BENCH_DP_MODE", "frenet")
     cfg = dataclasses.replace(cfg, dp=dataclasses.replace(
         cfg.dp, collision_mode=DP_MODE))
+    cs_backend = os.environ.get("BENCH_COST_STACK")
+    if cs_backend:
+        cfg = dataclasses.replace(cfg, ilqr=dataclasses.replace(
+            cfg.ilqr, cost_stack_backend=cs_backend))
     # B=1024 measured best after the round-3 DP flop cuts: 2129 (256) /
     # 2219 (512) / 2068 (768) / 2335 (1024) replans/s
     B = int(os.environ.get("BENCH_BATCH", "1024"))

@@ -222,7 +222,13 @@ class IlqrConfig:
     # eligible (f32, windowed lanes, B a multiple of 128), else xla.
     # Like the sweep kernel, bitwise-equal to XLA only up to fusion
     # rounding — decision parity is pinned by the fixture gates.
-    cost_stack_backend: str = "xla"
+    # Hardware qualification (round 4, B=256 fixture + B=1024 pipeline):
+    # 100% convergence, near-term-dirty 72/2048 vs XLA's 71, f64-evaluated
+    # quality median |rel| 4e-5 with the documented two-sided chaotic
+    # tails (19 lanes >5% worse / 12 better vs the XLA path — the same
+    # jitter magnitude batch width alone induces); solve stage 7,851 ->
+    # 9,302 solves/s, pipeline 2,544 -> 2,733 replans/s.
+    cost_stack_backend: str = "auto"
     # Riccati backward+forward sweep implementation (solver_blast):
     # 'pallas' = fused VMEM-resident kernel (pallas/sweep.py) — the
     # sequential 160-step chain runs at on-chip latency instead of XLA's
