@@ -83,6 +83,11 @@ def _pipeline_bench(latency: bool):
     if cs_backend:
         cfg = dataclasses.replace(cfg, ilqr=dataclasses.replace(
             cfg.ilqr, cost_stack_backend=cs_backend))
+    k_alpha = os.environ.get("BENCH_ALPHAS_PER_TRIP")
+    if k_alpha:
+        cfg = dataclasses.replace(cfg, ilqr=dataclasses.replace(
+            cfg.ilqr, line_search=dataclasses.replace(
+                cfg.ilqr.line_search, alphas_per_trip=int(k_alpha))))
     # B=1024 measured best after the round-3 DP flop cuts: 2129 (256) /
     # 2219 (512) / 2068 (768) / 2335 (1024) replans/s
     B = int(os.environ.get("BENCH_BATCH", "1024"))
@@ -252,8 +257,18 @@ def _mpc_bench():
     from cilqr_tpu.config import PlannerConfig
 
     cfg = PlannerConfig()
-    # B=512 measured best: 3,653 cycles/s at B=256 / 3,769 at B=512
-    B = int(os.environ.get("BENCH_BATCH", "512"))
+    k_alpha = os.environ.get("BENCH_ALPHAS_PER_TRIP")
+    if k_alpha:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, ilqr=dataclasses.replace(
+            cfg.ilqr, line_search=dataclasses.replace(
+                cfg.ilqr.line_search, alphas_per_trip=int(k_alpha))))
+    # Batch sweep history: 3,653 at B=256 / 3,769 at B=512 (round 3);
+    # with the round-4 paired line search the warm solve's share shrank
+    # and B=1024 edges ahead — 5,990 (B=512) vs 6,141/6,142 (B=1024, two
+    # runs, identical safety counters 328/8192 dirty, 29/8192 clipped).
+    B = int(os.environ.get("BENCH_BATCH", "1024"))
     CYCLES = int(os.environ.get("BENCH_CYCLES", "8"))
     REPS = int(os.environ.get("BENCH_REPS", "4"))
     BACKEND = os.environ.get("BENCH_BACKEND", "blast")
@@ -387,6 +402,13 @@ def main():
 
         cfg = cfg.replace(ilqr=dataclasses.replace(
             cfg.ilqr, cost_stack_backend=cs_backend))
+    k_alpha = os.environ.get("BENCH_ALPHAS_PER_TRIP")
+    if k_alpha:
+        import dataclasses
+
+        cfg = cfg.replace(ilqr=dataclasses.replace(
+            cfg.ilqr, line_search=dataclasses.replace(
+                cfg.ilqr.line_search, alphas_per_trip=int(k_alpha))))
     ilqr = cfg.ilqr
     veh = cfg.vehicle
     dt = cfg.delta_t

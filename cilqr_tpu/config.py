@@ -112,6 +112,26 @@ class LineSearchConfig:
     # exact reference early-exit semantics at ~1/4 of the per-iteration
     # flops when the first alpha accepts (docs/PERF.md lever 2).
     mode: str = "serial"
+    # Alphas evaluated per while-loop trip in the batch-last serial search
+    # (solver_blast._make_body). Every trip pays a relinearization
+    # (jacobians + derivative cost stack + backward sweep) computed from
+    # the trip's FROZEN iterate (xs, us, lam); a rejected alpha burns all
+    # of it to learn one accept bit, and the lockstep batch walks at its
+    # most rejection-heavy lane's trip count (profiled round 4: ~32
+    # full-width trips to conclude 3 iterations at B=1024). K > 1 rolls
+    # out K consecutive alphas from the SAME backward pass (one extra
+    # forward rollout + candidate cost stack each) and applies the serial
+    # accept rule to them in order — decision-identical to K=1 because
+    # every candidate is a deterministic function of the frozen iterate:
+    # candidate i computed this trip equals the value trip i would have
+    # computed (pinned on the fixture in tests/test_solver_blast.py).
+    # Swept on the TPU B=1024 fixture (solves/s, trip cap 24):
+    # {1: 9,292, 2: 11,202, 3: 12,493, 4: 13,428, 5: 11,687} — the win
+    # grows until the K extra candidate evaluations outweigh the saved
+    # relinearizations (K=5 also spills the sweep kernel's per-candidate
+    # VMEM rollout buffers); 4 is the measured optimum (docs/PERF.md
+    # round 4).
+    alphas_per_trip: int = 4
 
 
 @dataclasses.dataclass(frozen=True)
@@ -213,6 +233,10 @@ class IlqrConfig:
     # 32: 7306, 48: 7325, 64: 7308} — small caps pay more in extra
     # cascade rounds than they save, the 24-trip cap retires ~all of the
     # batch's accepted work first and hands only the true stragglers down.
+    # With the paired line search (alphas_per_trip=4) the cap is nearly
+    # flat — {16: 13,430, 24: 13,428, 32: 13,458, 48: 13,411, 64:
+    # 13,391} — each trip now covers 4 line-search steps, so far fewer
+    # lanes are mid-iteration at any cap boundary; 24 kept.
     compaction_phase1_trips: int = 24
     # Corridor+lane cost-stack implementation (solver_blast._cost_stack_bl):
     # 'pallas' = fused VMEM kernel (pallas/coststack.py) computing

@@ -72,11 +72,14 @@ def _normalize_angle(x):
     return x - two_pi * jnp.floor((x + jnp.pi) / two_pi)
 
 
-def _sweep_kernel(dt, wheel_base, T,
+def _sweep_kernel(dt, wheel_base, T, KA,
                   lam_ref, alpha_ref, A_ref, B_ref, Jx_ref, Ju_ref,
                   Hx_ref, Hu_ref, xs_ref, us_ref,
-                  nxs_ref, nus_ref, dv_ref, gnorm_ref,
-                  Ks_ref, ks_ref):
+                  *out_and_scratch):
+    # outputs: KA (nxs, nus) pairs, then dv, gnorm; scratch: Ks, ks
+    nxs_refs = out_and_scratch[0:2 * KA:2]
+    nus_refs = out_and_scratch[1:2 * KA:2]
+    dv_ref, gnorm_ref, Ks_ref, ks_ref = out_and_scratch[2 * KA:]
     dtype = A_ref.dtype
     lam = lam_ref[0]                                   # [NB]
     eye2 = jnp.eye(2, dtype=dtype)[..., None]
@@ -120,8 +123,11 @@ def _sweep_kernel(dt, wheel_base, T,
     dv_ref[1] = dV1
     gnorm_ref[0] = gacc / T
 
-    # ---- forward rollout (ilqr_optimizer.cc:392-415)
-    alpha = alpha_ref[0]                               # [NB]
+    # ---- forward rollouts (ilqr_optimizer.cc:392-415), one per alpha —
+    # all KA candidates reuse the backward pass's VMEM-resident gains
+    # (the serial line search would recompute an identical backward from
+    # the same frozen iterate on each alpha-advance trip; see
+    # LineSearchConfig.alphas_per_trip)
     L = wheel_base
 
     def f_cont(s, u):
@@ -136,22 +142,27 @@ def _sweep_kernel(dt, wheel_base, T,
             u[1],
         ])
 
-    nxs_ref[0] = xs_ref[0]  # rollout starts at goals[0] == xs[0]
+    for a in range(KA):
+        alpha = alpha_ref[a]                           # [NB]
+        nxs_ref = nxs_refs[a]
+        nus_ref = nus_refs[a]
+        nxs_ref[0] = xs_ref[0]  # rollout starts at goals[0] == xs[0]
 
-    def fwd(t, x):
-        u = us_ref[t] + _mv(Ks_ref[t], x - xs_ref[t]) + alpha * ks_ref[t]
-        # rebuild rows via stack: value.at[i].set lowers to scatter, which
-        # Mosaic does not implement
-        u = jnp.stack([u[0], _normalize_angle(u[1])])
-        mid = x + 0.5 * dt * f_cont(x, u)
-        nxt = x + dt * f_cont(mid, u)
-        nxt = jnp.stack([nxt[0], nxt[1], _normalize_angle(nxt[2]),
-                         nxt[3], nxt[4], _normalize_angle(nxt[5])])
-        nus_ref[t] = u
-        nxs_ref[t + 1] = nxt
-        return nxt
+        def fwd(t, x, alpha=alpha, nxs_ref=nxs_ref, nus_ref=nus_ref):
+            u = (us_ref[t] + _mv(Ks_ref[t], x - xs_ref[t])
+                 + alpha * ks_ref[t])
+            # rebuild rows via stack: value.at[i].set lowers to scatter,
+            # which Mosaic does not implement
+            u = jnp.stack([u[0], _normalize_angle(u[1])])
+            mid = x + 0.5 * dt * f_cont(x, u)
+            nxt = x + dt * f_cont(mid, u)
+            nxt = jnp.stack([nxt[0], nxt[1], _normalize_angle(nxt[2]),
+                             nxt[3], nxt[4], _normalize_angle(nxt[5])])
+            nus_ref[t] = u
+            nxs_ref[t + 1] = nxt
+            return nxt
 
-    jax.lax.fori_loop(0, T, fwd, xs_ref[0])
+        jax.lax.fori_loop(0, T, fwd, xs_ref[0])
 
 
 @functools.partial(jax.jit, static_argnames=("dt", "wheel_base", "interpret"))
@@ -159,9 +170,14 @@ def riccati_sweep(lam, alpha, A, Bm, Jx, Ju, Hx, Hu, xs, us,
                   dt: float, wheel_base: float, interpret: bool = False):
     """Fused backward+forward sweep over a batch.
 
-    lam, alpha: [B]; A [T,6,6,B]; Bm [T,6,2,B]; Jx [N,6,B]; Ju [T,2,B];
-    Hx [N,6,6,B]; Hu [T,2,2,B]; xs [N,6,B] (knot-major!); us [T,2,B].
-    Returns (nxs [N,6,B], nus [T,2,B], dV0 [B], dV1 [B], gnorm [B]).
+    lam: [B]; alpha: [B] or [KA, B]; A [T,6,6,B]; Bm [T,6,2,B];
+    Jx [N,6,B]; Ju [T,2,B]; Hx [N,6,6,B]; Hu [T,2,2,B]; xs [N,6,B]
+    (knot-major!); us [T,2,B].
+
+    alpha [B] returns (nxs [N,6,B], nus [T,2,B], dV0, dV1, gnorm).
+    alpha [KA, B] runs ONE backward pass and KA forward rollouts (each
+    alpha row reuses the VMEM-resident gains) and returns
+    (nxs [KA,N,6,B], nus [KA,T,2,B], dV0, dV1, gnorm).
 
     B must be a multiple of NB (pad lanes with copies if needed).
     """
@@ -171,6 +187,9 @@ def riccati_sweep(lam, alpha, A, Bm, Jx, Ju, Hx, Hu, xs, us,
     assert B % NB == 0, f"batch {B} not a multiple of {NB}"
     grid = (B // NB,)
     dtype = A.dtype
+    stacked = alpha.ndim == 2
+    alpha2 = alpha if stacked else alpha[None]
+    KA = alpha2.shape[0]
 
     def bspec(*lead):
         nlead = len(lead)
@@ -178,25 +197,35 @@ def riccati_sweep(lam, alpha, A, Bm, Jx, Ju, Hx, Hu, xs, us,
                             lambda i, _n=nlead: (0,) * _n + (i,),
                             memory_space=pltpu.VMEM)
 
-    kernel = functools.partial(_sweep_kernel, dt, wheel_base, T)
-    out_shape = (
-        jax.ShapeDtypeStruct((N, 6, B), dtype),    # nxs
-        jax.ShapeDtypeStruct((T, 2, B), dtype),    # nus
-        jax.ShapeDtypeStruct((2, B), dtype),       # dV0, dV1
-        jax.ShapeDtypeStruct((1, B), dtype),       # gnorm
+    kernel = functools.partial(_sweep_kernel, dt, wheel_base, T, KA)
+    out_shape = tuple(
+        s for _ in range(KA)
+        for s in (jax.ShapeDtypeStruct((N, 6, B), dtype),     # nxs_a
+                  jax.ShapeDtypeStruct((T, 2, B), dtype))     # nus_a
+    ) + (
+        jax.ShapeDtypeStruct((2, B), dtype),    # dV0, dV1
+        jax.ShapeDtypeStruct((1, B), dtype),    # gnorm
     )
-    nxs, nus, dv, gnorm = pl.pallas_call(
+    out_specs = tuple(
+        s for _ in range(KA) for s in (bspec(N, 6), bspec(T, 2))
+    ) + (bspec(2), bspec(1))
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[bspec(1), bspec(1), bspec(T, 6, 6), bspec(T, 6, 2),
+        in_specs=[bspec(1), bspec(KA), bspec(T, 6, 6), bspec(T, 6, 2),
                   bspec(N, 6), bspec(T, 2), bspec(N, 6, 6), bspec(T, 2, 2),
                   bspec(N, 6), bspec(T, 2)],
-        out_specs=(bspec(N, 6), bspec(T, 2), bspec(2), bspec(1)),
+        out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((T, 2, 6, NB), dtype),      # Ks
             pltpu.VMEM((T, 2, NB), dtype),         # ks
         ],
         interpret=interpret,
-    )(lam[None], alpha[None], A, Bm, Jx, Ju, Hx, Hu, xs, us)
+    )(lam[None], alpha2, A, Bm, Jx, Ju, Hx, Hu, xs, us)
+    dv, gnorm = outs[2 * KA], outs[2 * KA + 1]
+    if not stacked:
+        return outs[0], outs[1], dv[0], dv[1], gnorm[0]
+    nxs = jnp.stack(outs[0:2 * KA:2])
+    nus = jnp.stack(outs[1:2 * KA:2])
     return nxs, nus, dv[0], dv[1], gnorm[0]

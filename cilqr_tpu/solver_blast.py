@@ -675,21 +675,38 @@ def _make_body(goals, cbl, cfg: IlqrConfig, veh: VehicleParam, dt, dtype, T_):
         # mop-up rounds can be narrower — fall back to the XLA sweep there)
         use_pallas = cfg.sweep_backend == "pallas" and B % _NB == 0
 
+    k_alpha = max(1, cfg.line_search.alphas_per_trip)
+
     def body(c: _CarryBL) -> _CarryBL:
         A, Bm = _jacobians_bl(c.xs[:, :-1], c.us, dt, veh.wheel_base)
         cost_d = _cost_stack_bl(c.xs, c.us, goals, cbl, cfg, veh, True)
         _, _, clip1, Jx, Ju, Hx, Hu = cost_d
-        a = alphas[c.aidx]                                # [B]
+        # K consecutive alphas per trip, all rolled out from this trip's
+        # frozen iterate (LineSearchConfig.alphas_per_trip). Candidate i's
+        # values are bitwise what an alpha-advance trip would recompute —
+        # the iterate, lam and hence gains are unchanged on advance — so
+        # applying the serial accept rule to the candidates IN ORDER is
+        # decision-identical to one-alpha-per-trip (ilqr_optimizer.cc:
+        # 246-265 semantics either way).
+        a_k = [alphas[jnp.minimum(c.aidx + i, n_alpha - 1)]
+               for i in range(k_alpha)]                   # K x [B]
         if use_pallas:
             from .pallas.sweep import riccati_sweep
 
+            a_arg = a_k[0] if k_alpha == 1 else jnp.stack(a_k)
             nxs_km, nus_tm, dV0, dV1, gnorm = riccati_sweep(
-                c.lam, a, A, Bm, Jx, Ju, Hx, Hu,
+                c.lam, a_arg, A, Bm, Jx, Ju, Hx, Hu,
                 jnp.moveaxis(c.xs, 0, 1), jnp.moveaxis(c.us, 0, 1),
                 dt=dt, wheel_base=veh.wheel_base,
                 interpret=jax.default_backend() == "cpu")
-            nxs = jnp.moveaxis(nxs_km, 0, 1)
-            nus = jnp.moveaxis(nus_tm, 0, 1)
+            if k_alpha == 1:
+                nxs_k = [jnp.moveaxis(nxs_km, 0, 1)]
+                nus_k = [jnp.moveaxis(nus_tm, 0, 1)]
+            else:
+                nxs_k = [jnp.moveaxis(nxs_km[i], 0, 1)
+                         for i in range(k_alpha)]
+                nus_k = [jnp.moveaxis(nus_tm[i], 0, 1)
+                         for i in range(k_alpha)]
             gnorm_done = (gnorm < reg.gradient_norm_min) & (c.lam < 1e-5)
         else:
             Ks, ks, dV0, dV1 = _backward_bl(c.lam, A, Bm, Jx, Ju, Hx, Hu,
@@ -697,21 +714,56 @@ def _make_body(goals, cbl, cfg: IlqrConfig, veh: VehicleParam, dt, dtype, T_):
             gnorm = jnp.mean(jnp.max(jnp.abs(ks) / (jnp.abs(
                 jnp.moveaxis(c.us, 1, 0)) + 1.0), axis=1), axis=0)
             gnorm_done = (gnorm < reg.gradient_norm_min) & (c.lam < 1e-5)
-            nxs, nus = _forward_bl(a, c.xs, c.us, Ks, ks, goals, dt,
-                                   veh.wheel_base, unroll=unroll)
-        ncost, npc, clip2 = _cost_stack_bl(nxs, nus, goals, cbl, cfg, veh,
-                                           False)
-        # dcost as a sum of per-knot differences, NOT total_old - total_new:
-        # in f32 the reference's form cancels two ~1e3 sums at the decision
-        # thresholds' noise floor (see _cost_stack_bl docstring); f64 agrees
-        # with the reference form to ~1e-13.
-        dcost = jnp.sum(c.pc - npc, axis=0)
-        expected = -a * (dV0 + a * dV1)
-        z = dcost / expected
-        accept = ((z > cfg.line_search.beta_min) &
-                  (z < cfg.line_search.beta_max) & (dcost > 0.0))
-        last_alpha = c.aidx == (n_alpha - 1)
-        full_reject = (~accept) & last_alpha
+            nxs_k = []
+            nus_k = []
+            for i in range(k_alpha):
+                nxs_i, nus_i = _forward_bl(a_k[i], c.xs, c.us, Ks, ks,
+                                           goals, dt, veh.wheel_base,
+                                           unroll=unroll)
+                nxs_k.append(nxs_i)
+                nus_k.append(nus_i)
+
+        # Serial accept fold over the K candidates: candidate i is
+        # CONSIDERED only if every previous one was rejected without
+        # exhausting the schedule — exactly the lane states a 1-alpha
+        # trip sequence would visit.
+        cand = []
+        for i in range(k_alpha):
+            ncost_i, npc_i, clip_i = _cost_stack_bl(
+                nxs_k[i], nus_k[i], goals, cbl, cfg, veh, False)
+            # dcost as a sum of per-knot differences, NOT total_old -
+            # total_new: in f32 the reference's form cancels two ~1e3 sums
+            # at the decision thresholds' noise floor (see _cost_stack_bl
+            # docstring); f64 agrees with the reference form to ~1e-13.
+            dcost_i = jnp.sum(c.pc - npc_i, axis=0)
+            expected_i = -a_k[i] * (dV0 + a_k[i] * dV1)
+            z_i = dcost_i / expected_i
+            acc_i = ((z_i > cfg.line_search.beta_min) &
+                     (z_i < cfg.line_search.beta_max) & (dcost_i > 0.0))
+            last_i = (c.aidx + i) == (n_alpha - 1)
+            cand.append((nxs_k[i], nus_k[i], ncost_i, npc_i, clip_i,
+                         dcost_i, acc_i, last_i))
+
+        nxs, nus, ncost, npc, clip2, dcost, acc0, last0 = cand[0]
+        accept = acc0
+        full_reject = (~acc0) & last0
+        considered = (~acc0) & (~last0)
+        for i in range(1, k_alpha):
+            nxs_i, nus_i, ncost_i, npc_i, clip_i, dcost_i, acc_i, \
+                last_i = cand[i]
+            sel_i = considered & acc_i
+            nxs = jnp.where(sel_i, nxs_i, nxs)
+            nus = jnp.where(sel_i, nus_i, nus)
+            ncost = jax.tree.map(lambda n, o, s=sel_i: jnp.where(s, n, o),
+                                 ncost_i, ncost)
+            npc = jnp.where(sel_i, npc_i, npc)
+            dcost = jnp.where(sel_i, dcost_i, dcost)
+            # serial parity: candidate i's cost stack only runs on lanes
+            # that reach it, so its clip flag only counts there
+            clip2 = clip2 | (considered & clip_i)
+            accept = accept | sel_i
+            full_reject = full_reject | (considered & (~acc_i) & last_i)
+            considered = considered & (~acc_i) & (~last_i)
         concluded = accept | full_reject
 
         dlam_acc = jnp.minimum(c.dlam / reg.ratio, 1.0 / reg.ratio)
@@ -743,7 +795,8 @@ def _make_body(goals, cbl, cfg: IlqrConfig, veh: VehicleParam, dt, dtype, T_):
             status=pick3(status_acc, status_rej,
                          jnp.int32(SolverStatus.RUNNING)).astype(jnp.int32),
             it=c.it + concluded.astype(jnp.int32),
-            aidx=jnp.where(concluded, 0, c.aidx + 1).astype(jnp.int32),
+            aidx=jnp.where(concluded, 0,
+                           c.aidx + k_alpha).astype(jnp.int32),
             clip=c.clip | clip1 | clip2,
         )
 

@@ -194,3 +194,49 @@ def test_trim_constraints_exact():
                                   np.asarray(r2.status))
     np.testing.assert_allclose(np.asarray(r2.us), np.asarray(r1.us),
                                atol=1e-11)
+
+
+def test_paired_line_search_matches_serial_fixture():
+    """alphas_per_trip=2 (and 3) applies the serial accept rule to K
+    candidates rolled out from one frozen backward pass — decision- and
+    control-identical to the 1-alpha-per-trip search on fixture problems
+    (f64; candidate i's rollout equals the value trip i would have
+    recomputed, so only program-level fusion reassociation can differ).
+    Also exercised across the compaction cascade (aidx stays a multiple
+    of K at every phase boundary)."""
+    import dataclasses
+    import os
+
+    from cilqr_tpu.costs import ConstraintSet
+
+    fixture = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "benchdata", "problems.npz")
+    if not os.path.exists(fixture):
+        pytest.skip("no bench fixture")
+    d = np.load(fixture)
+    take = lambda k: (jnp.asarray(d[k][:16], jnp.float64)
+                      if d[k].dtype != np.bool_ else jnp.asarray(d[k][:16]))
+    cons = ConstraintSet(
+        corridor_planes=take("corridor_planes"),
+        corridor_mask=take("corridor_mask"),
+        left_planes=take("left_planes"), left_segs=take("left_segs"),
+        left_mask=take("left_mask"), right_planes=take("right_planes"),
+        right_segs=take("right_segs"), right_mask=take("right_mask"))
+    goals, starts = take("goals"), take("starts")
+    c1 = dataclasses.replace(
+        CFG, line_search=dataclasses.replace(CFG.line_search,
+                                             alphas_per_trip=1))
+    r1 = solve_batch_bl(goals, starts, cons, c1, VEH, DT)
+    for k, trips in ((4, 0), (4, 4), (2, 0)):
+        ck = dataclasses.replace(
+            c1, line_search=dataclasses.replace(c1.line_search,
+                                                alphas_per_trip=k),
+            compaction_phase1_trips=trips)
+        rk = solve_batch_bl(goals, starts, cons, ck, VEH, DT)
+        np.testing.assert_array_equal(np.asarray(r1.iters),
+                                      np.asarray(rk.iters))
+        np.testing.assert_array_equal(np.asarray(r1.status),
+                                      np.asarray(rk.status))
+        np.testing.assert_array_equal(np.asarray(r1.lam), np.asarray(rk.lam))
+        np.testing.assert_allclose(np.asarray(rk.us), np.asarray(r1.us),
+                                   atol=1e-11)
