@@ -409,6 +409,18 @@ def main():
         cfg = cfg.replace(ilqr=dataclasses.replace(
             cfg.ilqr, line_search=dataclasses.replace(
                 cfg.ilqr.line_search, alphas_per_trip=int(k_alpha))))
+    phase1 = os.environ.get("BENCH_PHASE1")
+    if phase1:
+        import dataclasses
+
+        cfg = cfg.replace(ilqr=dataclasses.replace(
+            cfg.ilqr, compaction_phase1=int(phase1)))
+    factor = os.environ.get("BENCH_FACTOR")
+    if factor:
+        import dataclasses
+
+        cfg = cfg.replace(ilqr=dataclasses.replace(
+            cfg.ilqr, compaction_factor=int(factor)))
     ilqr = cfg.ilqr
     veh = cfg.vehicle
     dt = cfg.delta_t
