@@ -101,3 +101,22 @@ class QuadraticBarrier:
     def hess_factors(self, x):
         f = jnp.where(x < 1e-10, 0.0, 2.0 * self.param)
         return f, jnp.zeros_like(x)
+
+
+def make_barrier(cfg):
+    """Barrier selected by BarrierConfig.kind — the reference's
+    commented-out source-edit switch (ilqr_optimizer.h:181-188 chooses
+    RelaxBarrierFunction; the Exponential/Quadratic lines are the
+    alternatives) made a config axis. The cost stack (costs.py,
+    solver_blast._cost_stack_bl) calls this; the Pallas kernels hardcode
+    relax semantics, so non-relax kinds run the XLA cost stack
+    (solver_blast._use_coststack_kernel gates on kind)."""
+    kind = cfg.kind
+    if kind == "relax":
+        return RelaxBarrier(cfg.t, cfg.epsilon)
+    if kind == "exponential":
+        return ExponentialBarrier(cfg.exp_q1, cfg.exp_q2)
+    if kind == "quadratic":
+        return QuadraticBarrier(cfg.quad_param)
+    raise ValueError(f"unknown barrier kind {kind!r} "
+                     "(expected relax | exponential | quadratic)")

@@ -83,15 +83,31 @@ class Weights:
 
 @dataclasses.dataclass(frozen=True)
 class BarrierConfig:
-    """Relaxed-log barrier parameters.
+    """Constraint-barrier selection and parameters.
+
+    kind: 'relax' (default — RelaxBarrierFunction, the one the reference
+    actually uses, ilqr_optimizer.h:187-188), 'exponential' or 'quadratic'
+    (barrier_function.h:37-79 / :149-189 — the reference's commented-out
+    switch at ilqr_optimizer.h:181-186, here a config axis; see
+    barriers.make_barrier). Non-relax kinds are supported by the XLA cost
+    stacks only: the Pallas cost-stack/megasolve kernels hardcode relax
+    semantics and are gated off automatically.
 
     The reference's RelaxBarrierFunction hardcodes t=5.0, eps=0.01
     (barrier_function.h:143-145); the config-level t/t_rate fields are
     declared but unused (planner_config.h:60-61), so they are not carried.
     """
 
+    kind: str = "relax"
     t: float = 5.0
     epsilon: float = 0.01
+    # ExponentialBarrier q1*exp(q2*x) defaults (barrier_function.h:143's
+    # neighbors declare none; these match the constructor defaults used in
+    # the commented-out switch, barrier_function.h:41-44)
+    exp_q1: float = 0.5
+    exp_q2: float = 2.5
+    # QuadraticBarrier penalty weight (barrier_function.h:152)
+    quad_param: float = 1000.0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -18,7 +18,7 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from .barriers import RelaxBarrier
+from .barriers import make_barrier
 from .config import IlqrConfig, VehicleParam
 from .geometry import point_segment_distance
 from .types import CostBreakdown
@@ -182,7 +182,7 @@ def _nearest_lane_plane(cx, cy, planes, segs, mask):
 def total_cost(xs, us, goals, cons: ConstraintSet,
                cfg: IlqrConfig, veh: VehicleParam) -> CostBreakdown:
     """TotalCost (ilqr_optimizer.cc:417-436) with component breakdown."""
-    bar = RelaxBarrier(cfg.barrier.t, cfg.barrier.epsilon)
+    bar = make_barrier(cfg.barrier)
     w = cfg.weights
 
     # --- JCost (ilqr_optimizer.cc:497-516)
@@ -227,7 +227,7 @@ def cost_derivatives(xs, us, goals, cons: ConstraintSet,
     uses control (0,0) and contributes no Ju/Hu, matching
     ilqr_optimizer.cc:209-212.
     """
-    bar = RelaxBarrier(cfg.barrier.t, cfg.barrier.epsilon)
+    bar = make_barrier(cfg.barrier)
     w = cfg.weights
     N = xs.shape[0]
     T = us.shape[0]

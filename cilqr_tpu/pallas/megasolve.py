@@ -685,6 +685,11 @@ def solve_batch_mega(goals_bf, starts, cons, cfg, veh, dt,
     block_nb with copies of lane 0 (padding lanes solve and are dropped)."""
     from ..solver import iqr_init, transform_goals
 
+    if cfg.barrier.kind != "relax":
+        raise ValueError("the megakernel hardcodes RelaxBarrier semantics; "
+                         f"barrier kind {cfg.barrier.kind!r} needs the "
+                         "'blast' or 'vmap' backend")
+
     dtype = goals_bf.dtype
     B0 = goals_bf.shape[0]
     N = goals_bf.shape[1]

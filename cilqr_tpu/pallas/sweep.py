@@ -177,7 +177,11 @@ def riccati_sweep(lam, alpha, A, Bm, Jx, Ju, Hx, Hu, xs, us,
     alpha [B] returns (nxs [N,6,B], nus [T,2,B], dV0, dV1, gnorm).
     alpha [KA, B] runs ONE backward pass and KA forward rollouts (each
     alpha row reuses the VMEM-resident gains) and returns
-    (nxs [KA,N,6,B], nus [KA,T,2,B], dV0, dV1, gnorm).
+    (nxs: KA-tuple of [N,6,B], nus: KA-tuple of [T,2,B], dV0, dV1,
+    gnorm) — per-alpha outputs are handed back as-is instead of being
+    stacked into one [KA,...] array the caller would immediately
+    re-index, which materialized an avoidable full-size HBM copy of
+    every rollout on the hot per-trip path.
 
     B must be a multiple of NB (pad lanes with copies if needed).
     """
@@ -226,6 +230,5 @@ def riccati_sweep(lam, alpha, A, Bm, Jx, Ju, Hx, Hu, xs, us,
     dv, gnorm = outs[2 * KA], outs[2 * KA + 1]
     if not stacked:
         return outs[0], outs[1], dv[0], dv[1], gnorm[0]
-    nxs = jnp.stack(outs[0:2 * KA:2])
-    nus = jnp.stack(outs[1:2 * KA:2])
-    return nxs, nus, dv[0], dv[1], gnorm[0]
+    return (tuple(outs[0:2 * KA:2]), tuple(outs[1:2 * KA:2]),
+            dv[0], dv[1], gnorm[0])

@@ -225,12 +225,18 @@ def solve(coarse_xs, start_state, cons: ConstraintSet,
 
 def solve_with_history(coarse_xs, start_state, cons: ConstraintSet,
                        cfg: IlqrConfig, veh: VehicleParam, dt, num_iters=None,
-                       record_trajs=False):
+                       record_trajs=False, warm_start=None):
     """Fixed-length variant (lax.scan over iterations) that records the
     per-iteration cost breakdown — the analog of IlqrOptimizer::cost()
     (ilqr_optimizer.h:50-52) feeding the reference's cost-vs-iteration
     figure (figure_plot.h:455-485). Converged iterations repeat the frozen
     carry, mirroring how the reference stops appending.
+
+    warm_start: optional (xs [N,6], us [T,2]) initial trajectory,
+    replacing the LQR init — pass exactly what the production call got
+    (pipeline._init_guess_warm_start for init_guess='tracker', or the MPC
+    shifted plan) so the recorded history replays the solve that actually
+    ran; tests/test_solver.py pins the decision-sequence match.
 
     Follows cfg.line_search.mode so the recorded history reflects the
     production path: in 'serial' mode (the default backend's semantics)
@@ -246,7 +252,10 @@ def solve_with_history(coarse_xs, start_state, cons: ConstraintSet,
     """
     n_it = cfg.max_iter_num if num_iters is None else num_iters
     goals = transform_goals(coarse_xs, start_state)
-    xs0, us0 = iqr_init(goals, cfg, veh, dt)
+    if warm_start is None:
+        xs0, us0 = iqr_init(goals, cfg, veh, dt)
+    else:
+        xs0, us0 = warm_start
     cost0 = total_cost(xs0, us0, goals, cons, cfg, veh)
 
     # reuse the outer-iteration body, running it n_it times via scan

@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .barriers import RelaxBarrier
+from .barriers import make_barrier
 from .config import IlqrConfig, VehicleParam
 from .costs import ConstraintSet
 from .geometry import normalize_angle, point_segment_distance
@@ -344,7 +344,7 @@ def _cost_stack_bl(xs, us, goals, cbl: ConsBL, cfg, veh, want_derivs):
     decision-flip rate vs f64 on the fixture), while summing per-knot
     differences keeps the error relative to dcost itself. In f64 the two
     forms agree to ~1e-13 and decisions are identical."""
-    bar = RelaxBarrier(cfg.barrier.t, cfg.barrier.epsilon)
+    bar = make_barrier(cfg.barrier)
     w = cfg.weights
     dtype = xs.dtype
     N = xs.shape[1]
@@ -523,7 +523,8 @@ def _use_coststack_kernel(cfg, cbl: ConsBL, xs) -> bool:
     blocks; 'auto' additionally requires the TPU backend + f32 (the
     kernel runs in interpret mode on CPU, which only tests use)."""
     mode = cfg.cost_stack_backend
-    if mode == "xla":
+    if mode == "xla" or cfg.barrier.kind != "relax":
+        # the kernel hardcodes RelaxBarrier branches (pallas/coststack.py)
         return False
     from .pallas.coststack import NB as _CNB
 
@@ -703,10 +704,10 @@ def _make_body(goals, cbl, cfg: IlqrConfig, veh: VehicleParam, dt, dtype, T_):
                 nxs_k = [jnp.moveaxis(nxs_km, 0, 1)]
                 nus_k = [jnp.moveaxis(nus_tm, 0, 1)]
             else:
-                nxs_k = [jnp.moveaxis(nxs_km[i], 0, 1)
-                         for i in range(k_alpha)]
-                nus_k = [jnp.moveaxis(nus_tm[i], 0, 1)
-                         for i in range(k_alpha)]
+                # per-alpha tuples straight from the kernel (no stacked
+                # [KA, ...] intermediate; see riccati_sweep docstring)
+                nxs_k = [jnp.moveaxis(x, 0, 1) for x in nxs_km]
+                nus_k = [jnp.moveaxis(u, 0, 1) for u in nus_tm]
             gnorm_done = (gnorm < reg.gradient_norm_min) & (c.lam < 1e-5)
         else:
             Ks, ks, dV0, dV1 = _backward_bl(c.lam, A, Bm, Jx, Ju, Hx, Hu,

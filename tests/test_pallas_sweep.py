@@ -62,6 +62,35 @@ def test_sweep_matches_xla_reference():
                                np.asarray(nus_r), rtol=1e-5, atol=1e-7)
 
 
+def test_sweep_stacked_alphas_match_single(seed=3):
+    """alpha [KA, B] (the paired line search's one-backward/KA-rollouts
+    path) returns per-alpha tuples whose entries equal KA independent
+    single-alpha sweeps."""
+    lam, alpha, A, Bm, Jx, Ju, Hx, Hu, xs_cm, us_cm = _random_problem(seed)
+    dt, L = 0.1, 1.0
+    KA = 3
+    rng = np.random.default_rng(seed + 1)
+    alphas = jnp.asarray(rng.uniform(0.1, 1.0, (KA, B)))
+    xs_km = jnp.moveaxis(xs_cm, 0, 1)
+    us_tm = jnp.moveaxis(us_cm, 0, 1)
+
+    nxs_t, nus_t, dV0, dV1, gnorm = riccati_sweep(
+        lam, alphas, A, Bm, Jx, Ju, Hx, Hu, xs_km, us_tm,
+        dt=dt, wheel_base=L, interpret=True)
+    assert isinstance(nxs_t, tuple) and len(nxs_t) == KA
+    assert isinstance(nus_t, tuple) and len(nus_t) == KA
+    for a in range(KA):
+        nxs_a, nus_a, dV0_a, dV1_a, gnorm_a = riccati_sweep(
+            lam, alphas[a], A, Bm, Jx, Ju, Hx, Hu, xs_km, us_tm,
+            dt=dt, wheel_base=L, interpret=True)
+        np.testing.assert_array_equal(np.asarray(nxs_t[a]),
+                                      np.asarray(nxs_a))
+        np.testing.assert_array_equal(np.asarray(nus_t[a]),
+                                      np.asarray(nus_a))
+        np.testing.assert_array_equal(np.asarray(dV0), np.asarray(dV0_a))
+        np.testing.assert_array_equal(np.asarray(gnorm), np.asarray(gnorm_a))
+
+
 def test_solver_with_pallas_sweep_matches_xla_sweep():
     """Full solve with sweep_backend='pallas' (interpret) vs 'xla' on a
     NB-lane batch."""

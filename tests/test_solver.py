@@ -152,6 +152,75 @@ def test_solve_with_history_matches_solve(setup):
     assert np.all(np.diff(tot) <= 1e-9)
 
 
+def test_solve_with_history_honors_warm_start(setup):
+    """The history path must replay the solve that actually ran: with a
+    warm start (MPC shift / tracker init) its decision sequence and
+    controls must match solve() given the same warm start — the
+    reference's figure_plot records the production solve, not a parallel
+    one (figure_plot.h:267-487)."""
+    goals, cons, start = setup
+    # a feasible-but-imperfect warm start: the iqr init perturbed
+    xs0, us0 = S.iqr_init(S.transform_goals(goals, start), CFG_PAR, VEH, DT)
+    warm = (xs0, us0 * 0.9)
+    res = S.solve(goals, start, cons, CFG_PAR, VEH, DT, warm_start=warm)
+    res_h, hist = S.solve_with_history(goals, start, cons, CFG_PAR, VEH, DT,
+                                       num_iters=int(res.iters) + 2,
+                                       warm_start=warm)
+    assert int(res_h.status) == int(res.status)
+    assert int(res_h.iters) == int(res.iters)
+    np.testing.assert_allclose(np.asarray(res_h.us), np.asarray(res.us),
+                               atol=1e-12)
+    assert float(hist.total[0]) == pytest.approx(
+        float(S.total_cost(warm[0], warm[1],
+                           S.transform_goals(goals, start),
+                           cons, CFG_PAR, VEH).total))
+
+
+def test_solve_with_history_matches_tracker_init_production(setup):
+    """init_guess='tracker' production parity: feeding the same tracker
+    warm start to solve() and solve_with_history() yields the identical
+    decision sequence (pipeline._init_guess_warm_start wiring)."""
+    from cilqr_tpu import tracker as tracker_mod
+    from cilqr_tpu.config import PlannerConfig
+    from cilqr_tpu.pipeline import traj_from_solution
+
+    goals, cons, start = setup
+    pcfg = PlannerConfig()
+    coarse = traj_from_solution(goals, jnp.zeros((N - 1, 2), goals.dtype),
+                                DT, VEH.wheel_base)
+    warm = tracker_mod.plan(start, coarse, pcfg.tracker, VEH)
+    res = S.solve(goals, start, cons, CFG_PAR, VEH, DT, warm_start=warm)
+    res_h, _ = S.solve_with_history(goals, start, cons, CFG_PAR, VEH, DT,
+                                    num_iters=int(res.iters) + 2,
+                                    warm_start=warm)
+    assert int(res_h.status) == int(res.status)
+    assert int(res_h.iters) == int(res.iters)
+    np.testing.assert_allclose(np.asarray(res_h.us), np.asarray(res.us),
+                               atol=1e-12)
+
+
+def test_solve_barrier_variants(setup):
+    """The Exponential/Quadratic barrier kinds (the reference's
+    commented-out switch, ilqr_optimizer.h:181-186) are selectable via
+    BarrierConfig.kind and solve the synthetic problem: converged status,
+    actuator limits respected, trajectory near the goals."""
+    goals, cons, start = setup
+    for kind in ("exponential", "quadratic"):
+        cfg = dataclasses.replace(
+            CFG, barrier=dataclasses.replace(CFG.barrier, kind=kind))
+        res = S.solve(goals, start, cons, cfg, VEH, DT)
+        st = int(res.status)
+        assert st in (int(SolverStatus.SUCCESS_GNORM),
+                      int(SolverStatus.SUCCESS_ABS_COST),
+                      int(SolverStatus.SUCCESS_REL_COST)), (kind, st)
+        xs = np.asarray(res.xs)
+        # stays near the straight-road goals (the barrier variants change
+        # the constraint shaping, not the tracking objective)
+        assert np.max(np.abs(xs[:, 1])) < 2.0, kind
+        us = np.asarray(res.us)
+        assert np.all(np.abs(us[:, 0]) <= VEH.jerk_max + 1e-6), kind
+
+
 def test_solve_vmappable(setup):
     goals, cons, start = setup
     starts = jnp.stack([start, start.at[1].set(-0.5), start.at[3].set(8.0)])

@@ -197,13 +197,13 @@ def test_trim_constraints_exact():
 
 
 def test_paired_line_search_matches_serial_fixture():
-    """alphas_per_trip=2 (and 3) applies the serial accept rule to K
-    candidates rolled out from one frozen backward pass — decision- and
-    control-identical to the 1-alpha-per-trip search on fixture problems
-    (f64; candidate i's rollout equals the value trip i would have
-    recomputed, so only program-level fusion reassociation can differ).
-    Also exercised across the compaction cascade (aidx stays a multiple
-    of K at every phase boundary)."""
+    """alphas_per_trip=K for K in {2, 3, 4} applies the serial accept rule
+    to K candidates rolled out from one frozen backward pass — decision-
+    and control-identical to the 1-alpha-per-trip search on fixture
+    problems (f64; candidate i's rollout equals the value trip i would
+    have recomputed, so only program-level fusion reassociation can
+    differ). Also exercised across the compaction cascade (aidx stays a
+    multiple of K at every phase boundary)."""
     import dataclasses
     import os
 
@@ -227,7 +227,7 @@ def test_paired_line_search_matches_serial_fixture():
         CFG, line_search=dataclasses.replace(CFG.line_search,
                                              alphas_per_trip=1))
     r1 = solve_batch_bl(goals, starts, cons, c1, VEH, DT)
-    for k, trips in ((4, 0), (4, 4), (2, 0)):
+    for k, trips in ((4, 0), (4, 4), (3, 0), (2, 0)):
         ck = dataclasses.replace(
             c1, line_search=dataclasses.replace(c1.line_search,
                                                 alphas_per_trip=k),
