@@ -147,10 +147,12 @@ def _pipeline_bench(latency: bool):
                                       grid, lane, backend=BACKEND, spec=spec)
             near = pipeline.NEAR_TERM_KNOTS
             return (out.solve.us.sum(), out.solve.iters.sum(), out.ok.sum(),
-                    out.solve_hits[..., :near].any(-1).sum())
+                    out.pre_hits[..., :near].any(-1).sum(),
+                    out.repaired.sum(), out.still_dirty.sum())
 
-        us_sum, it_sum, ok_sum, bad = jax.lax.map(one, deltas)
-        return us_sum.sum(), it_sum.sum(), ok_sum.sum(), bad.sum()
+        us_sum, it_sum, ok_sum, bad, rep, still = jax.lax.map(one, deltas)
+        return (us_sum.sum(), it_sum.sum(), ok_sum.sum(), bad.sum(),
+                rep.sum(), still.sum())
 
     def mk_deltas():
         return jnp.asarray(rng.uniform(-0.2, 0.2, (INNER, B)), dtype)
@@ -159,6 +161,8 @@ def _pipeline_bench(latency: bool):
     jax.block_until_ready(out)
     ok_frac = float(out[2]) / (B * INNER)
     bad_lanes = int(out[3])
+    repaired_lanes = int(out[4])
+    still_dirty_lanes = int(out[5])
 
     times = []
     for _ in range(REPS):
@@ -222,21 +226,25 @@ def _pipeline_bench(latency: bool):
               f"prep+solve={t_solve:.1f}", file=sys.stderr)
 
     print(f"converged+ok fraction: {ok_frac:.4f}; lanes whose executed "
-          f"near-term horizon (25 knots) re-checks dirty: "
-          f"{bad_lanes}/{B * INNER}", file=sys.stderr)
+          f"near-term horizon (25 knots) re-checked dirty PRE-repair: "
+          f"{bad_lanes}/{B * INNER}; repaired: {repaired_lanes}; still "
+          f"dirty after repair: {still_dirty_lanes}", file=sys.stderr)
     # near_term_dirty_lanes rides the JSON so drift in the safety counter
-    # is visible to BENCH_r*.json parsers, not stderr-only. It is NOT
-    # folded into "ok": ok = converged & corridors-built (solver-level
-    # health); near-term-dirty is a distinct, characterized phenomenon
-    # (start-perturbation tail — see docs/PERF.md "executed-horizon
-    # re-check at bench scale" and tests/test_pipeline_f32_gate.py gate
-    # F) whose budget the gate pins separately.
+    # is visible to BENCH_r*.json parsers, not stderr-only; it counts the
+    # PRE-repair re-check (the characterized rel-cost-stop phenomenon,
+    # comparable to BENCH_r04). repaired/still_dirty expose the round-5
+    # repair loop's action INSIDE the timed region (its cost is in the
+    # headline). NOT folded into "ok": ok = converged & corridors-built
+    # (solver-level health); the re-check is a distinct safety lens
+    # whose budget gate F pins separately.
     print(json.dumps({
         "metric": "full_replans_per_s_per_chip",
         "value": round(rate, 2),
         "unit": "replans/s",
         "vs_baseline": round(rate / 1000.0, 3),
         "near_term_dirty_lanes": bad_lanes,
+        "repaired_lanes": repaired_lanes,
+        "still_dirty_lanes": still_dirty_lanes,
         "total_lanes": B * INNER,
     }))
 
@@ -295,12 +303,12 @@ def _mpc_bench():
     def roll(scns, xs, us):
         carry = mpc.MpcCarry(xs=xs, us=us,
                              cycle_time=jnp.zeros((xs.shape[0],), dtype))
-        final, (status, iters, cost, cor_ok, clipped, near_hits) = \
-            mpc.mpc_scan_batch(scns, carry, cfg, lane, CYCLES,
-                               backend=BACKEND, spec=spec)
-        return (final.xs.sum(), iters.sum(),
-                iters.astype(jnp.float32).mean(), cor_ok.all(),
-                clipped.sum(), near_hits.sum())
+        final, st = mpc.mpc_scan_batch(scns, carry, cfg, lane, CYCLES,
+                                       backend=BACKEND, spec=spec)
+        return (final.xs.sum(), st.iters.sum(),
+                st.iters.astype(jnp.float32).mean(), st.corridor_ok.all(),
+                st.lane_clipped.sum(), st.pre_near_hits.sum(),
+                st.repaired.sum(), st.still_dirty.sum())
 
     out = roll(scns, out0.solve.xs, out0.solve.us)
     jax.block_until_ready(out)
@@ -316,8 +324,9 @@ def _mpc_bench():
     print(f"warm-start iters/cycle: {warm_iters:.2f} vs cold "
           f"{cold_iters:.2f}; corridors ok: {bool(out[3])}; "
           f"lane windows clipped: {int(out[4])}/{B * CYCLES}; "
-          f"executed-horizon re-check dirty cycles: "
-          f"{near_dirty}/{B * CYCLES}",
+          f"executed-horizon re-check dirty cycles PRE-repair: "
+          f"{near_dirty}/{B * CYCLES}; repaired: {int(out[6])}; still "
+          f"dirty: {int(out[7])}",
           file=sys.stderr)
     print(json.dumps({
         "metric": "mpc_replan_cycles_per_s_per_chip",
@@ -325,6 +334,8 @@ def _mpc_bench():
         "unit": "cycles/s",
         "vs_baseline": round(rate / 1000.0, 3),
         "near_term_dirty_cycles": near_dirty,
+        "repaired_cycles": int(out[6]),
+        "still_dirty_cycles": int(out[7]),
         "total_cycles": B * CYCLES,
         "lane_windows_clipped": int(out[4]),
     }))

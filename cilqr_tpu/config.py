@@ -347,6 +347,57 @@ class DpConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class RepairConfig:
+    """Dirty-lane repair (pipeline._repair_batch / mpc repair): when the
+    executed-horizon collision re-check of an optimized plan fires
+    (PlanOutput.solve_hits / MpcStepOut.near_hits — the safety lens the
+    reference lacks entirely: planning_node.cc:82-112 animates its output
+    unchecked), the flagged lanes are gathered, re-solved warm-started
+    against constraints TIGHTENED by the escalating margins, re-checked,
+    replace the originals only when the repaired plan's near-term horizon
+    re-checks clean (and the repair solve converged). The measured dirt
+    is shallow rel-cost-stop grazes of 0.007-0.3 m (docs/PERF.md
+    "executed-horizon re-check at bench scale"), so a 0.35 m tightening
+    strictly covers the characterized population."""
+
+    enabled: bool = True
+    # escalating per-round extra margins (metres of inward shrink applied
+    # to corridor AND lane planes via costs.tighten_constraints — exact
+    # geometric boundary shift, c -= margin * hypot(a, b)). Measured on
+    # the characterized dirty population (seeds 145/156/163, docs/
+    # PERF.md round 5): 0.35 covers the 2-disc-recheck-vs-5-disc-shrink
+    # model deficit (~0.34 m worst case between disc centers) and clears
+    # the shallow-graze majority warm-started; the stubborn lanes carry
+    # soft-barrier residuals on top and need ~1.0 m, and the
+    # basin-trapped ones (seed 163: corridor satisfied by 0.6 m yet
+    # colliding — a wrong f32 basin) additionally need the COLD restart
+    # of round 2, since a warm start from the bad iterate cannot escape
+    # a local method's basin. Seed 240 (corridor-hull leak over a parked
+    # vehicle: corridor satisfied by 0.6-7.8 m while colliding; dirty in
+    # BOTH precisions) needs the 1.5 m third round at batch width. Later
+    # rounds only execute when a lane is still dirty (lax.cond), so the
+    # escalation tail costs nothing on clean batches.
+    margins: Tuple[float, ...] = (0.35, 1.0, 1.5)
+    # rounds >= this index re-solve from the LQR init (iqr_init) instead
+    # of warm-starting at the dirty iterate — the basin escape
+    cold_restart_from: int = 1
+    # abs/rel cost stop tolerance for the COLD rounds: the tightened
+    # problem's total cost is barrier-dominated, so the production
+    # rel_cost_tol=1e-2 stops while the iterate is still mid-descent
+    # (measured: seed 240's repair concluded in 1-8 iterations at every
+    # margin and stayed dirty; at 1e-4 it runs ~80 iterations and
+    # clears). Warm round 0 keeps the production tolerances — its job is
+    # the cheap shallow-graze majority.
+    cold_tol: float = 1e-4
+    # static repair sub-batch width as a fraction of B (jit needs static
+    # shapes; dirty lanes beyond the width stay still_dirty and are
+    # counted). Measured dirty rate is ~3.5%; 1/8 gives 3.5x headroom.
+    # On sweep-block-aligned batches the width floors at one 128-lane
+    # block so the repair solve keeps the fused Pallas sweep.
+    max_fraction: float = 0.125
+
+
+@dataclasses.dataclass(frozen=True)
 class TrackerConfig:
     """LQR path/speed tracker used by the optional InitGuess path
     (planner_config.h:18-43)."""
@@ -377,6 +428,7 @@ class PlannerConfig:
     corridor: CorridorConfig = CorridorConfig()
     dp: DpConfig = DpConfig()
     tracker: TrackerConfig = TrackerConfig()
+    repair: RepairConfig = RepairConfig()
 
     @property
     def num_knots(self) -> int:

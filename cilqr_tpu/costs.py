@@ -76,6 +76,27 @@ def shrink_and_normalize(planes_corridor, corridor_mask,
     )
 
 
+def tighten_constraints(cons: ConstraintSet, margin) -> ConstraintSet:
+    """Shift every corridor and lane half-plane boundary inward by
+    ``margin`` metres (the repair solve's corrective configuration,
+    RepairConfig.margins).
+
+    For a plane (a, b, c) with constraint a x + b y <= c, the boundary's
+    geometric offset is c / hypot(a, b), so c -= margin * hypot(a, b)
+    moves it exactly ``margin`` metres inward — the same arithmetic
+    shrink_and_normalize applies for the disc radius
+    (ilqr_optimizer.cc:438-473), valid on already-normalized planes (the
+    reference's 3-vector normalization scales a, b, c together)."""
+
+    def shift(planes):
+        ab = jnp.hypot(planes[..., 0], planes[..., 1])
+        return planes.at[..., 2].add(-margin * ab)
+
+    return cons._replace(corridor_planes=shift(cons.corridor_planes),
+                         left_planes=shift(cons.left_planes),
+                         right_planes=shift(cons.right_planes))
+
+
 def trim_constraints(cons: ConstraintSet, multiple: int = 8) -> ConstraintSet:
     """Trim unused padded constraint slots (host-side, outside jit).
 

@@ -108,10 +108,16 @@ def sharded_pipeline_step(cfg: PlannerConfig, mesh: Mesh, grid, lane,
         stats = device_metrics(out.solve)
         stats["dp_ok"] = out.dp_ok.sum().astype(jnp.float32)
         stats["ok"] = out.ok.sum().astype(jnp.float32)
-        # executed-horizon safety: lanes whose near-term knots re-check dirty
+        # executed-horizon safety: near_hit_lanes counts the PRE-repair
+        # re-check (the characterized rel-cost-stop graze phenomenon —
+        # comparable across rounds); repaired/still_dirty expose the
+        # repair loop's action on it (pipeline._repair_batch)
         near = pipeline_mod.NEAR_TERM_KNOTS
         stats["near_hit_lanes"] = (
-            out.solve_hits[..., :near].any(-1).sum().astype(jnp.float32))
+            out.pre_hits[..., :near].any(-1).sum().astype(jnp.float32))
+        stats["repaired_lanes"] = out.repaired.sum().astype(jnp.float32)
+        stats["still_dirty_lanes"] = (
+            out.still_dirty.sum().astype(jnp.float32))
         stats = {k: jax.lax.psum(v, "batch") for k, v in stats.items()}
         return out, stats
 

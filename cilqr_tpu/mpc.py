@@ -46,10 +46,11 @@ class MpcStepOut(NamedTuple):
     # window in cycle k is visible at the API instead of vanishing inside
     # the scan carry.
     lane_clipped: jnp.ndarray
-    # executed-horizon safety re-check of THIS cycle's output plan: does
-    # any of the first pipeline.NEAR_TERM_KNOTS knots' two-disc probes
-    # (at the cycle's ABSOLUTE knot times — dynamic obstacles have
-    # advanced) hit an obstacle or road barrier? This is the same gate
+    # executed-horizon safety re-check of THIS cycle's FINAL plan (after
+    # the repair pass, when enabled): does any of the first
+    # pipeline.NEAR_TERM_KNOTS knots' two-disc probes (at the cycle's
+    # ABSOLUTE knot times — dynamic obstacles have advanced) hit an
+    # obstacle or road barrier? This is the same gate
     # PlanOutput.solve_hits gives the one-shot pipeline, applied where it
     # matters most: the receding-horizon loop is the code path that
     # actually EXECUTES plans (the reference animates its output with no
@@ -57,8 +58,18 @@ class MpcStepOut(NamedTuple):
     # (docs/PERF.md) is "callers gate the horizon they execute" — this
     # field is that gate, per cycle. All-False = safe to execute.
     near_hits: jnp.ndarray = None
-    # the full per-knot re-check mask [.., N] behind near_hits
+    # the full per-knot re-check mask [.., N] behind near_hits (final
+    # plan)
     solve_hits: jnp.ndarray = None
+    # pre-repair near-term dirty flag — the characterized rel-cost-stop
+    # graze phenomenon, BEFORE the repair pass acted on it (equals
+    # near_hits when repair is disabled)
+    pre_near_hits: jnp.ndarray = None
+    # repair outcome per lane this cycle (see PlanOutput.repaired /
+    # .still_dirty): the repaired plan also replaces the carry, so the
+    # NEXT cycle warm-starts from the safe trajectory
+    repaired: jnp.ndarray = None
+    still_dirty: jnp.ndarray = None
 
 
 def _lane_clipped_of(res: SolveResult):
@@ -101,10 +112,18 @@ def mpc_step(scn: Scenario, carry: MpcCarry, cfg: PlannerConfig,
     res = solver_mod.solve(goals, start_state, cons, cfg.ilqr, cfg.vehicle,
                            cfg.delta_t, warm_start=(goals, warm_us))
     hits = pipeline_mod._recheck_solution(scn, res.xs, cfg, spec, t0=t_new)
+    near = pipeline_mod.NEAR_TERM_KNOTS
+    pre_near = hits[:near].any()
+    if cfg.repair.enabled:
+        res, hits, repaired = pipeline_mod._repair_single(
+            scn, res, hits, goals, start_state, cons, cfg, spec, t0=t_new)
+    else:
+        repaired = jnp.zeros((), bool)
     out = MpcStepOut(solve=res, corridor_ok=cors.ok.all(),
                      lane_clipped=_lane_clipped_of(res),
-                     near_hits=hits[:pipeline_mod.NEAR_TERM_KNOTS].any(),
-                     solve_hits=hits)
+                     near_hits=hits[:near].any(),
+                     solve_hits=hits, pre_near_hits=pre_near,
+                     repaired=repaired, still_dirty=hits[:near].any())
     return MpcCarry(xs=res.xs, us=res.us, cycle_time=t_new), out
 
 
@@ -142,11 +161,24 @@ def mpc_step_batch(scns: Scenario, carry: MpcCarry, cfg: PlannerConfig,
         lambda s, x, t0: pipeline_mod._recheck_solution(s, x, cfg, spec,
                                                         t0=t0)
     )(scns, res.xs, t_new)
+    near = pipeline_mod.NEAR_TERM_KNOTS
+    pre_near = hits[:, :near].any(axis=1)
+    if cfg.repair.enabled:
+        # per-cycle repair: the repaired plan replaces both the cycle's
+        # output AND the carry, so the next cycle warm-starts from the
+        # safe trajectory (pipeline._repair_batch; skipped by lax.cond on
+        # clean cycles)
+        res, hits, repaired, still_dirty = pipeline_mod._repair_batch(
+            scns, res, hits, goals, goals[:, 0], cons, cfg, spec,
+            t0=t_new, backend=backend)
+    else:
+        repaired = jnp.zeros(pre_near.shape, bool)
+        still_dirty = pre_near
     out = MpcStepOut(solve=res, corridor_ok=cors.ok.all(axis=-1),
                      lane_clipped=_lane_clipped_of(res),
-                     near_hits=hits[:, :pipeline_mod.NEAR_TERM_KNOTS]
-                     .any(axis=1),
-                     solve_hits=hits)
+                     near_hits=hits[:, :near].any(axis=1),
+                     solve_hits=hits, pre_near_hits=pre_near,
+                     repaired=repaired, still_dirty=still_dirty)
     return MpcCarry(xs=res.xs, us=res.us, cycle_time=t_new), out
 
 
@@ -174,23 +206,49 @@ def run_mpc(scn: Scenario, start, cfg: PlannerConfig, n_cycles: int,
     results = [MpcStepOut(solve=out0.solve,
                           corridor_ok=out0.corridors.ok.all(),
                           lane_clipped=_lane_clipped_of(out0.solve),
-                          near_hits=near0, solve_hits=out0.solve_hits)]
+                          near_hits=near0, solve_hits=out0.solve_hits,
+                          pre_near_hits=out0.pre_hits[
+                              :pipeline_mod.NEAR_TERM_KNOTS].any(),
+                          repaired=out0.repaired,
+                          still_dirty=out0.still_dirty)]
     for _ in range(n_cycles):
         carry, out = step(carry)
         results.append(out)
     return results
 
 
+class MpcScanStats(NamedTuple):
+    """Per-cycle stacked stats from the jitted MPC rollouts."""
+
+    status: jnp.ndarray
+    iters: jnp.ndarray
+    cost: jnp.ndarray
+    corridor_ok: jnp.ndarray
+    lane_clipped: jnp.ndarray
+    near_hits: jnp.ndarray       # post-repair (the executed gate)
+    pre_near_hits: jnp.ndarray   # before the repair pass
+    repaired: jnp.ndarray
+    still_dirty: jnp.ndarray
+
+
+def _scan_stats(out: MpcStepOut) -> MpcScanStats:
+    return MpcScanStats(status=out.solve.status, iters=out.solve.iters,
+                        cost=out.solve.cost.total,
+                        corridor_ok=out.corridor_ok,
+                        lane_clipped=out.lane_clipped,
+                        near_hits=out.near_hits,
+                        pre_near_hits=out.pre_near_hits,
+                        repaired=out.repaired,
+                        still_dirty=out.still_dirty)
+
+
 def mpc_scan(scn: Scenario, carry: MpcCarry, cfg: PlannerConfig, grid, lane,
              n_cycles: int, spec=None):
     """Fully-jitted MPC rollout via lax.scan (for benchmarking): returns
-    (final carry, stacked (status, iters, final cost, corridor_ok,
-    lane_clipped, near_hits))."""
+    (final carry, MpcScanStats stacked over cycles)."""
     def body(c, _):
         c2, out = mpc_step(scn, c, cfg, grid, lane, spec=spec)
-        return c2, (out.solve.status, out.solve.iters,
-                    out.solve.cost.total, out.corridor_ok,
-                    out.lane_clipped, out.near_hits)
+        return c2, _scan_stats(out)
 
     return jax.lax.scan(body, carry, None, length=n_cycles)
 
@@ -198,16 +256,14 @@ def mpc_scan(scn: Scenario, carry: MpcCarry, cfg: PlannerConfig, grid, lane,
 def mpc_scan_batch(scns: Scenario, carry: MpcCarry, cfg: PlannerConfig,
                    lane, n_cycles: int, backend: str = "blast", spec=None):
     """Fully-jitted BATCHED MPC rollout: n_cycles of mpc_step_batch.
-    Returns (final carry, stacked [C, B] (status, iters, cost,
-    corridor_ok, lane_clipped, near_hits)) — the BENCH_MODE=mpc
-    workload. near_hits is the per-cycle executed-horizon safety gate
-    (MpcStepOut.near_hits); it rides the scan output so the bench can
-    report a per-(cycle, lane) safety count, not just convergence."""
+    Returns (final carry, MpcScanStats with [C, B] leaves) — the
+    BENCH_MODE=mpc workload. near_hits is the per-cycle executed-horizon
+    safety gate AFTER the repair pass; pre_near_hits/repaired/still_dirty
+    expose the repair loop's action so the bench reports the full safety
+    story per (cycle, lane), not just convergence."""
     def body(c, _):
         c2, out = mpc_step_batch(scns, c, cfg, lane, backend=backend,
                                  spec=spec)
-        return c2, (out.solve.status, out.solve.iters,
-                    out.solve.cost.total, out.corridor_ok,
-                    out.lane_clipped, out.near_hits)
+        return c2, _scan_stats(out)
 
     return jax.lax.scan(body, carry, None, length=n_cycles)

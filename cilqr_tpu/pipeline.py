@@ -36,9 +36,11 @@ class PlanOutput(NamedTuple):
     coarse: Traj
     dp_ok: jnp.ndarray
     corridors: CorridorSet
+    # the FINAL emitted solve result — for lanes the repair path replaced
+    # (see `repaired`) this is the repair re-solve's output
     solve: SolveResult
     ok: jnp.ndarray  # dp_ok & all corridor knots ok
-    # collision re-check of the OPTIMIZED trajectory: per-knot [.., N]
+    # collision re-check of the FINAL emitted trajectory: per-knot [.., N]
     # bool — does the knot's two-disc probe hit an obstacle / road
     # barrier (world.check_optimization_collision at the knots' absolute
     # times)? The reference never re-checks its output
@@ -50,6 +52,19 @@ class PlanOutput(NamedTuple):
     # horizon stays clean. Callers gate the horizon they actually
     # execute, e.g. solve_hits[..., :25].any().
     solve_hits: jnp.ndarray = None
+    # the re-check of the ORIGINAL solve, before the repair pass — the
+    # characterized rel-cost-stop graze phenomenon gate F pins. Equal to
+    # solve_hits when repair is disabled or nothing was dirty.
+    pre_hits: jnp.ndarray = None
+    # [..] bool: lane was near-term dirty, the repair re-solve (tightened
+    # constraints, warm-started — RepairConfig) converged and its output
+    # re-checks CLEAN; solve/solve_hits hold the repaired plan
+    repaired: jnp.ndarray = None
+    # [..] bool: lane's FINAL near-term horizon still re-checks dirty
+    # (repair disabled, repair failed to clear it, or the dirty count
+    # overflowed the static repair width) — the caller must not execute
+    # this lane's plan without its own mitigation
+    still_dirty: jnp.ndarray = None
 
 
 def coarse_to_states(traj: Traj) -> jnp.ndarray:
@@ -124,6 +139,147 @@ def _init_guess_warm_start(cfg: PlannerConfig, start_state, coarse: Traj):
     return f(start_state, coarse)
 
 
+def _success(status):
+    from .types import SolverStatus
+
+    return ((status == SolverStatus.SUCCESS_GNORM) |
+            (status == SolverStatus.SUCCESS_ABS_COST) |
+            (status == SolverStatus.SUCCESS_REL_COST))
+
+
+def _repair_ilqr_cfg(cfg: PlannerConfig, warm: bool):
+    """Solver config for a repair round: cold rounds tighten the stop
+    tolerances to RepairConfig.cold_tol — the tightened problem's total
+    cost is barrier-dominated, so the production rel-cost stop fires
+    while the iterate is still mid-descent (RepairConfig.cold_tol
+    notes)."""
+    import dataclasses
+
+    if warm:
+        return cfg.ilqr
+    return dataclasses.replace(cfg.ilqr, rel_cost_tol=cfg.repair.cold_tol,
+                               abs_cost_tol=cfg.repair.cold_tol)
+
+
+def repair_width(B: int, max_fraction: float) -> int:
+    """Static width of the repair sub-batch (jit needs static shapes).
+    Floors at one Pallas sweep block on block-aligned batches so the
+    repair solve keeps the fused sweep kernel."""
+    if B <= 16:
+        return B
+    w = max(8, int(B * max_fraction))
+    if B % 128 == 0:
+        w = max(128, -(-w // 128) * 128)
+    return min(B, w)
+
+
+def _repair_batch(scns: Scenario, res: SolveResult, hits, goals_b, starts6,
+                  cons, cfg: PlannerConfig, spec, t0=None,
+                  backend: str = "blast"):
+    """Close the safety loop on a batch: gather the near-term-dirty lanes,
+    re-solve them warm-started against constraints tightened by
+    RepairConfig.margins (escalating rounds), re-check, and replace each
+    original lane
+    only when its repaired plan re-checks CLEAN and the repair solve
+    converged. Returns (final SolveResult, final hits, repaired mask,
+    still_dirty mask).
+
+    Reference contrast: the reference cannot act on (or even see) these
+    residuals — ilqr_optimizer.cc:302-307 emits the trajectory on
+    lambda-overflow and planning_node.cc:82-112 executes it unchecked.
+
+    t0: per-lane absolute time of knot 0 for the re-check (MPC cycles);
+    None = 0 (one-shot pipeline)."""
+    from .batch import solve_batch
+    from .costs import tighten_constraints
+
+    rep = cfg.repair
+    B = goals_b.shape[0]
+    near = NEAR_TERM_KNOTS
+    R = repair_width(B, rep.max_fraction)
+
+    def recheck_rows(scns_g, xs_g, t0_g):
+        if t0_g is None:
+            return jax.vmap(
+                lambda s, x: _recheck_solution(s, x, cfg, spec))(scns_g,
+                                                                 xs_g)
+        return jax.vmap(
+            lambda s, x, t: _recheck_solution(s, x, cfg, spec, t0=t))(
+                scns_g, xs_g, t0_g)
+
+    def one_round(state, margin, warm):
+        res, hits, repaired = state
+        dirty = hits[..., :near].any(-1)
+        # dirty lanes first (stable sort keeps index order) — the same
+        # row-gather pattern the compaction cascade uses
+        # (solver_blast.solve_batch_compact)
+        idx = jnp.argsort(~dirty)[:R]
+        sel_dirty = dirty[idx]                       # [R]
+        g_cons = tighten_constraints(
+            jax.tree.map(lambda a: a[idx], cons), margin)
+        ws = (res.xs[idx], res.us[idx]) if warm else None
+        res_r = solve_batch(goals_b[idx], starts6[idx], g_cons,
+                            _repair_ilqr_cfg(cfg, warm), cfg.vehicle,
+                            cfg.delta_t, warm_start=ws, backend=backend)
+        g_scns = jax.tree.map(lambda a: a[idx], scns)
+        t0_g = None if t0 is None else t0[idx]
+        hits_r = recheck_rows(g_scns, res_r.xs, t0_g)
+        clean_r = ~hits_r[..., :near].any(-1)
+        use = sel_dirty & clean_r & _success(res_r.status)   # [R]
+
+        def put(full, part):
+            u = use.reshape((R,) + (1,) * (part.ndim - 1))
+            return full.at[idx].set(jnp.where(u, part, full[idx]))
+
+        return (jax.tree.map(put, res, res_r), put(hits, hits_r),
+                repaired | jnp.zeros((B,), bool).at[idx].set(use))
+
+    state = (res, hits, jnp.zeros((B,), bool))
+    for rnd, margin in enumerate(rep.margins):
+        # escalation: round 0 warm-starts from the dirty iterate at the
+        # small margin; later rounds COLD-restart (iqr init) at the large
+        # margin to escape bad basins (RepairConfig.margins). Each round
+        # is skipped entirely when no lane is dirty (lax.cond executes
+        # one branch — clean batches / clean MPC cycles pay nothing).
+        warm = rnd < rep.cold_restart_from
+        state = jax.lax.cond(
+            state[1][..., :near].any(),
+            lambda s, m=margin, w=warm: one_round(s, m, w),
+            lambda s: s, state)
+    res, hits, repaired = state
+    still_dirty = hits[..., :near].any(-1)
+    return res, hits, repaired, still_dirty
+
+
+def _repair_single(scn: Scenario, res: SolveResult, hits, goals,
+                   start_state, cons, cfg: PlannerConfig, spec, t0=0.0):
+    """Single-lane repair (the un-batched analog of _repair_batch): one
+    lax.cond — the tightened warm-started re-solve only executes when the
+    near-term re-check fired. Returns (res, hits, repaired)."""
+    near = NEAR_TERM_KNOTS
+    state = (res, hits, jnp.zeros((), bool))
+    for rnd, margin in enumerate(cfg.repair.margins):
+        cons_r = costs_mod.tighten_constraints(cons, margin)
+        warm = rnd < cfg.repair.cold_restart_from
+
+        def do_repair(rh, cons_r=cons_r, warm=warm):
+            res0, hits0, rep0 = rh
+            ws = (res0.xs, res0.us) if warm else None
+            res_r = solver_mod.solve(goals, start_state, cons_r,
+                                     _repair_ilqr_cfg(cfg, warm),
+                                     cfg.vehicle, cfg.delta_t,
+                                     warm_start=ws)
+            hits_r = _recheck_solution(scn, res_r.xs, cfg, spec, t0=t0)
+            clean = (~hits_r[:near].any()) & _success(res_r.status)
+            res1 = jax.tree.map(lambda a, b: jnp.where(clean, a, b),
+                                res_r, res0)
+            return res1, jnp.where(clean, hits_r, hits0), rep0 | clean
+
+        state = jax.lax.cond(state[1][:near].any(), do_repair,
+                             lambda s: s, state)
+    return state
+
+
 def plan(scn: Scenario, start, cfg: PlannerConfig,
          grid: BarrierGrid | None = None, lane=None,
          spec=None) -> PlanOutput:
@@ -162,8 +318,16 @@ def plan(scn: Scenario, start, cfg: PlannerConfig,
                            cfg.delta_t, warm_start=warm)
     ok = dp_res.ok & cors.ok.all()
     hits = _recheck_solution(scn, res.xs, cfg, spec)
+    pre_hits = hits
+    if cfg.repair.enabled:
+        res, hits, repaired = _repair_single(scn, res, hits, goals,
+                                             start_state, cons, cfg, spec)
+    else:
+        repaired = jnp.zeros((), bool)
     return PlanOutput(coarse=dp_res.traj, dp_ok=dp_res.ok, corridors=cors,
-                      solve=res, ok=ok, solve_hits=hits)
+                      solve=res, ok=ok, solve_hits=hits, pre_hits=pre_hits,
+                      repaired=repaired,
+                      still_dirty=hits[:NEAR_TERM_KNOTS].any())
 
 
 def plan_batch(scns: Scenario, starts, cfg: PlannerConfig, grid, lane,
@@ -211,8 +375,18 @@ def plan_batch(scns: Scenario, starts, cfg: PlannerConfig, grid, lane,
     ok = dp_res.ok & cors.ok.all(axis=-1)
     hits = jax.vmap(lambda s, x: _recheck_solution(s, x, cfg, spec))(
         scns, res.xs)
+    pre_hits = hits
+    B = goals.shape[0]
+    if cfg.repair.enabled:
+        res, hits, repaired, still_dirty = _repair_batch(
+            scns, res, hits, goals, start_state, cons, cfg, spec,
+            backend=backend)
+    else:
+        repaired = jnp.zeros((B,), bool)
+        still_dirty = hits[..., :NEAR_TERM_KNOTS].any(-1)
     return PlanOutput(coarse=dp_res.traj, dp_ok=dp_res.ok, corridors=cors,
-                      solve=res, ok=ok, solve_hits=hits)
+                      solve=res, ok=ok, solve_hits=hits, pre_hits=pre_hits,
+                      repaired=repaired, still_dirty=still_dirty)
 
 
 def plan_jit(cfg: PlannerConfig, spec=None):

@@ -173,9 +173,10 @@ def test_mpc_blast_rollout_lane_window_stays_clean():
     out0 = pipeline.plan_batch(scns, starts, cfg, None, lane, spec=spec)
     carry = mpc.MpcCarry(xs=out0.solve.xs, us=out0.solve.us,
                          cycle_time=jnp.zeros((2,), jnp.float64))
-    _, (status, iters, cost, cor_ok, clipped, near_hits) = \
-        mpc.mpc_scan_batch(scns, carry, cfg, lane, n_cycles=8,
-                           backend="blast", spec=spec)
+    _, st = mpc.mpc_scan_batch(scns, carry, cfg, lane, n_cycles=8,
+                               backend="blast", spec=spec)
+    status, cor_ok, clipped, near_hits = (st.status, st.corridor_ok,
+                                          st.lane_clipped, st.near_hits)
     assert clipped.shape == (8, 2)
     assert (np.asarray(status) != SolverStatus.RUNNING).all()
     assert np.asarray(cor_ok).all()
@@ -215,10 +216,9 @@ def test_mpc_lane_clip_guard_fires_through_scan_batch():
     out0 = pipeline.plan_batch(scns, starts, cfg, None, lane, spec=spec)
     carry = mpc.MpcCarry(xs=out0.solve.xs, us=out0.solve.us,
                          cycle_time=jnp.zeros((1,), jnp.float64))
-    _, (status, iters, cost, cor_ok, clipped, near_hits) = \
-        mpc.mpc_scan_batch(scns, carry, cfg, lane, n_cycles=3,
-                           backend="blast", spec=spec)
-    clipped = np.asarray(clipped)
+    _, st = mpc.mpc_scan_batch(scns, carry, cfg, lane, n_cycles=3,
+                               backend="blast", spec=spec)
+    clipped = np.asarray(st.lane_clipped)
     assert clipped.shape == (3, 1)
     assert clipped.all(), clipped   # the guard fires at every cycle
 
