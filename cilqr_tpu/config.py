@@ -168,6 +168,22 @@ class IlqrConfig:
 
     num_of_disc: int = 5
     safe_margin: float = 0.2
+    # Extra inward shrink added to BOTH corridor and lane planes on top
+    # of the reference's shrink radii (costs.shrink_and_normalize). The
+    # reference shrinks lanes by the 5-disc cover radius (1.013 m) and
+    # corridors by that + 0.2 (ilqr_optimizer.cc:438-473) — but its own
+    # output-collision model (Environment::CheckOptimizationCollision,
+    # environment.cpp:92-112) is the TWO-disc cover with radius 1.210 m,
+    # whose probe centers sit up to 0.145 m from the nearest 5-disc
+    # center: satisfying the reference's shrunk planes guarantees only
+    # 1.013 - 0.145 = 0.868 m of boundary clearance where the 2-disc
+    # model needs 1.210 — an up-to-0.34 m unsafety the reference never
+    # notices because it never re-checks its output. 0.35 covers the
+    # deficit in the BASE solve (measured round 5: pre-repair dirty
+    # lanes 72/2048 -> a handful, at no solve cost); 0.0 restores the
+    # reference's exact shrink semantics (the native-oracle parity tests
+    # pin that configuration).
+    cover_margin: float = 0.35
     weights: Weights = Weights()
     max_iter_num: int = 200
     abs_cost_tol: float = 1e-2
@@ -371,13 +387,14 @@ class RepairConfig:
     # soft-barrier residuals on top and need ~1.0 m, and the
     # basin-trapped ones (seed 163: corridor satisfied by 0.6 m yet
     # colliding — a wrong f32 basin) additionally need the COLD restart
-    # of round 2, since a warm start from the bad iterate cannot escape
-    # a local method's basin. Seed 240 (corridor-hull leak over a parked
-    # vehicle: corridor satisfied by 0.6-7.8 m while colliding; dirty in
-    # BOTH precisions) needs the 1.5 m third round at batch width. Later
-    # rounds only execute when a lane is still dirty (lax.cond), so the
-    # escalation tail costs nothing on clean batches.
-    margins: Tuple[float, ...] = (0.35, 1.0, 1.5)
+    # of round 1, since a warm start from the bad iterate cannot escape
+    # a local method's basin. Swept on the TPU B=1024 pipeline (54
+    # pre-dirty/2048; docs/PERF.md round-5 repair frontier): the warm
+    # round at the FULL 1.0 margin clears strictly more lanes than at
+    # 0.35 for the same (cheap) cost, and the margin ladder's 1.5 round
+    # and the brake round clear only subsets of what cold-1.0 clears —
+    # (1.0, 1.0) is the measured Pareto ladder.
+    margins: Tuple[float, ...] = (1.0, 1.0)
     # rounds >= this index re-solve from the LQR init (iqr_init) instead
     # of warm-starting at the dirty iterate — the basin escape
     cold_restart_from: int = 1
@@ -389,6 +406,30 @@ class RepairConfig:
     # clears). Warm round 0 keeps the production tolerances — its job is
     # the cheap shallow-graze majority.
     cold_tol: float = 1e-4
+    # iteration cap for the cold round: at the tight tolerance the stop
+    # can fire very late or never, and the repair sub-batch walks in
+    # lockstep at a ~1 ms/trip width-floor (docs/PERF.md round 5), so
+    # the cap IS the round's cost. The measured resistant-but-repairable
+    # lanes converge in 82-123 iterations; 100 covers the characterized
+    # CPU population (zero residual over seeds 0..255, gate G) and buys
+    # 36/54 repaired on the TPU B=1024 population at -30% headline
+    # (cap 150: 39/54 at -47%; cap 60: 32/54 at -24%).
+    cold_max_iter: int = 100
+    # final BRAKE round (after the margin rounds, only if lanes remain
+    # dirty): re-time the goal profile to brake_factor of its speed
+    # along the SAME path (pipeline.brake_goals) and re-solve cold at
+    # margins[0]. The measured resistant class cuts road-boundary
+    # corners at speed — the reference's one-nearest-segment lane model
+    # cannot represent a boundary corner, so no plane margin separates
+    # the collision (docs/PERF.md round 5) — while a slower profile
+    # takes the corner inside the drivable envelope: the standard
+    # speed-reduction fallback. 0 disables the round. DEFAULT OFF: the
+    # TPU frontier sweep measured every brake-cleared lane to be a
+    # subset of what the cold-1.0 round clears (warm+brake 27/54
+    # repaired vs warm+cold 32/54; warm+cold+brake still 32/54), so the
+    # round only adds cost in the default ladder — it remains available
+    # for deployments that prefer braking to margin escalation.
+    brake_factor: float = 0.0
     # static repair sub-batch width as a fraction of B (jit needs static
     # shapes; dirty lanes beyond the width stay still_dirty and are
     # counted). Measured dirty rate is ~3.5%; 1/8 gives 3.5x headroom.

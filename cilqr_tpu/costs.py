@@ -48,12 +48,16 @@ def shrink_and_normalize(planes_corridor, corridor_mask,
     """ShrinkConstraints + NormalizeHalfPlane (ilqr_optimizer.cc:438-495).
 
     Shrink: c -= r * hypot(a,b)  (the reference's (a^2+b^2)/hypot == hypot),
-    with r = disc_radius + safe_margin for corridors, disc_radius for lanes.
+    with r = disc_radius + safe_margin for corridors, disc_radius for lanes
+    — plus cfg.cover_margin on both, covering the reference's
+    2-disc-output-model-vs-5-disc-shrink deficit (IlqrConfig.cover_margin;
+    0 restores the reference's exact semantics).
     Normalize: divide (a,b,c) by ||(a,b,c)|| — the reference's non-standard
     3-vector norm, replicated exactly.
     """
-    r_corr = veh.disc_radius(cfg.num_of_disc) + cfg.safe_margin
-    r_lane = veh.disc_radius(cfg.num_of_disc)
+    r_corr = (veh.disc_radius(cfg.num_of_disc) + cfg.safe_margin
+              + cfg.cover_margin)
+    r_lane = veh.disc_radius(cfg.num_of_disc) + cfg.cover_margin
 
     def shrink(planes, r):
         ab = jnp.hypot(planes[..., 0], planes[..., 1])

@@ -124,3 +124,59 @@ def sharded_pipeline_step(cfg: PlannerConfig, mesh: Mesh, grid, lane,
     fn = jax.shard_map(_local, mesh=mesh, in_specs=(spec, spec),
                        out_specs=(spec, P()), check_vma=False)
     return jax.jit(fn)
+
+
+def sharded_mpc_step(cfg: PlannerConfig, mesh: Mesh, lane, n_cycles: int,
+                     backend: str = "blast", road_spec=None):
+    """The DEPLOYMENT loop under shard_map (BASELINE config 4 at fleet
+    width): each device runs ``n_cycles`` of the warm-start-carried
+    batched MPC replan cycle (mpc.mpc_scan_batch — per-cycle corridor
+    rebuild at the shifted absolute times, warm blast solve,
+    executed-horizon re-check and the repair pass) on its scenario
+    shard; the per-(cycle, lane) safety statistics psum over the mesh.
+    Per-device warm-start carries are embarrassingly parallel, so the
+    only collective is the stats reduction riding ICI.
+
+    Returns a jitted fn (scns pytree [B, ...], carry mpc.MpcCarry with
+    [B, ...] leaves) -> (final carry sharded over batch, global stats
+    dict of scalars: total/converged/corridor-ok cycle counts, iteration
+    sum, lane-clip count, and the pre-repair/repaired/still-dirty
+    executed-horizon safety counters)."""
+    from . import mpc as mpc_mod
+    from .types import SolverStatus
+
+    spec = P("batch")
+
+    def _local(scns, carry):
+        final, st = mpc_mod.mpc_scan_batch(scns, carry, cfg, lane,
+                                           n_cycles, backend=backend,
+                                           spec=road_spec)
+        succ = ((st.status == SolverStatus.SUCCESS_GNORM) |
+                (st.status == SolverStatus.SUCCESS_ABS_COST) |
+                (st.status == SolverStatus.SUCCESS_REL_COST))
+        f32 = jnp.float32
+        stats = {
+            "cycles": jnp.asarray(st.status.size, f32),
+            "converged_cycles": succ.sum().astype(f32),
+            # warm cycles whose shifted plan is already optimal can
+            # full-reject every alpha until lambda overflows (~10
+            # iterations) — the reference's kUnsolved exit, which it
+            # emits the trajectory on anyway (ilqr_optimizer.cc:302-307).
+            # Counted separately so deployments distinguish
+            # at-optimum lambda exits from real non-convergence.
+            "lambda_fail_cycles": (
+                st.status == SolverStatus.FAIL_LAMBDA_MAX).sum()
+            .astype(f32),
+            "iters_sum": st.iters.sum().astype(f32),
+            "corridor_ok_cycles": st.corridor_ok.sum().astype(f32),
+            "lane_clipped": st.lane_clipped.sum().astype(f32),
+            "near_hit_cycles": st.pre_near_hits.sum().astype(f32),
+            "repaired_cycles": st.repaired.sum().astype(f32),
+            "still_dirty_cycles": st.still_dirty.sum().astype(f32),
+        }
+        stats = {k: jax.lax.psum(v, "batch") for k, v in stats.items()}
+        return final, stats
+
+    fn = jax.shard_map(_local, mesh=mesh, in_specs=(spec, spec),
+                       out_specs=(spec, P()), check_vma=False)
+    return jax.jit(fn)

@@ -28,6 +28,19 @@ class MpcCarry(NamedTuple):
     xs: jnp.ndarray      # [N,6] current plan
     us: jnp.ndarray      # [T,2]
     cycle_time: jnp.ndarray  # absolute time of plan knot 0
+    # lanes whose repair ladder already FAILED once: the deployment
+    # policy is attempt-once-then-flag — a persistently-resistant lane
+    # stays still_dirty every cycle (visible to the executor) but does
+    # not re-run the cold round's full iteration budget per cycle
+    # (measured -40% MPC throughput otherwise; pipeline._repair_batch
+    # eligible). None = all lanes eligible (materialized to zeros by
+    # the scan entry points).
+    no_repair: jnp.ndarray = None
+
+
+def _no_repair_of(carry: MpcCarry, shape):
+    return (jnp.zeros(shape, bool) if carry.no_repair is None
+            else carry.no_repair)
 
 
 class MpcStepOut(NamedTuple):
@@ -114,9 +127,12 @@ def mpc_step(scn: Scenario, carry: MpcCarry, cfg: PlannerConfig,
     hits = pipeline_mod._recheck_solution(scn, res.xs, cfg, spec, t0=t_new)
     near = pipeline_mod.NEAR_TERM_KNOTS
     pre_near = hits[:near].any()
+    no_rep = _no_repair_of(carry, ())
     if cfg.repair.enabled:
         res, hits, repaired = pipeline_mod._repair_single(
-            scn, res, hits, goals, start_state, cons, cfg, spec, t0=t_new)
+            scn, res, hits, goals, start_state, cons, cfg, spec,
+            t0=t_new, eligible=~no_rep)
+        no_rep = no_rep | hits[:near].any()
     else:
         repaired = jnp.zeros((), bool)
     out = MpcStepOut(solve=res, corridor_ok=cors.ok.all(),
@@ -124,7 +140,8 @@ def mpc_step(scn: Scenario, carry: MpcCarry, cfg: PlannerConfig,
                      near_hits=hits[:near].any(),
                      solve_hits=hits, pre_near_hits=pre_near,
                      repaired=repaired, still_dirty=hits[:near].any())
-    return MpcCarry(xs=res.xs, us=res.us, cycle_time=t_new), out
+    return MpcCarry(xs=res.xs, us=res.us, cycle_time=t_new,
+                    no_repair=no_rep), out
 
 
 def mpc_step_batch(scns: Scenario, carry: MpcCarry, cfg: PlannerConfig,
@@ -163,14 +180,17 @@ def mpc_step_batch(scns: Scenario, carry: MpcCarry, cfg: PlannerConfig,
     )(scns, res.xs, t_new)
     near = pipeline_mod.NEAR_TERM_KNOTS
     pre_near = hits[:, :near].any(axis=1)
+    no_rep = _no_repair_of(carry, pre_near.shape)
     if cfg.repair.enabled:
         # per-cycle repair: the repaired plan replaces both the cycle's
         # output AND the carry, so the next cycle warm-starts from the
         # safe trajectory (pipeline._repair_batch; skipped by lax.cond on
-        # clean cycles)
+        # clean cycles). Lanes that already failed a full ladder are not
+        # re-attempted (MpcCarry.no_repair — attempt-once-then-flag).
         res, hits, repaired, still_dirty = pipeline_mod._repair_batch(
             scns, res, hits, goals, goals[:, 0], cons, cfg, spec,
-            t0=t_new, backend=backend)
+            t0=t_new, backend=backend, eligible=~no_rep)
+        no_rep = no_rep | still_dirty
     else:
         repaired = jnp.zeros(pre_near.shape, bool)
         still_dirty = pre_near
@@ -179,7 +199,8 @@ def mpc_step_batch(scns: Scenario, carry: MpcCarry, cfg: PlannerConfig,
                      near_hits=hits[:, :near].any(axis=1),
                      solve_hits=hits, pre_near_hits=pre_near,
                      repaired=repaired, still_dirty=still_dirty)
-    return MpcCarry(xs=res.xs, us=res.us, cycle_time=t_new), out
+    return MpcCarry(xs=res.xs, us=res.us, cycle_time=t_new,
+                    no_repair=no_rep), out
 
 
 def run_mpc(scn: Scenario, start, cfg: PlannerConfig, n_cycles: int,
@@ -250,6 +271,7 @@ def mpc_scan(scn: Scenario, carry: MpcCarry, cfg: PlannerConfig, grid, lane,
         c2, out = mpc_step(scn, c, cfg, grid, lane, spec=spec)
         return c2, _scan_stats(out)
 
+    carry = carry._replace(no_repair=_no_repair_of(carry, ()))
     return jax.lax.scan(body, carry, None, length=n_cycles)
 
 
@@ -266,4 +288,6 @@ def mpc_scan_batch(scns: Scenario, carry: MpcCarry, cfg: PlannerConfig,
                                  spec=spec)
         return c2, _scan_stats(out)
 
+    carry = carry._replace(
+        no_repair=_no_repair_of(carry, carry.cycle_time.shape))
     return jax.lax.scan(body, carry, None, length=n_cycles)

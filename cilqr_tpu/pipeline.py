@@ -20,6 +20,7 @@ from . import costs as costs_mod
 from . import dp as dp_mod
 from . import solver as solver_mod
 from .config import PlannerConfig
+from .geometry import normalize_angle
 from .types import CorridorSet, Scenario, SolveResult, Traj
 from .world import BarrierGrid, build_barrier_grid
 
@@ -147,6 +148,45 @@ def _success(status):
             (status == SolverStatus.SUCCESS_REL_COST))
 
 
+def brake_goals(goals, gamma):
+    """Re-time a goal trajectory to ``gamma`` of its speed along the SAME
+    path (the repair brake round, RepairConfig.brake_factor): the new
+    knot k sits at arc length gamma * s_k of the original xy polyline
+    (same start point), with velocities scaled by gamma and
+    accelerations by gamma^2 (kinematic re-timing). goals [N, 6] ->
+    [N, 6]."""
+    N = goals.shape[0]
+    dtype = goals.dtype
+    seg = jnp.hypot(jnp.diff(goals[:, 0]), jnp.diff(goals[:, 1]))
+    s = jnp.concatenate([jnp.zeros((1,), dtype), jnp.cumsum(seg)])
+    s2 = gamma * s
+    idx = jnp.clip(jnp.searchsorted(s, s2, side="right") - 1, 0, N - 2)
+    ds = jnp.maximum(s[idx + 1] - s[idx], 1e-9)
+    t = jnp.clip((s2 - s[idx]) / ds, 0.0, 1.0)
+
+    def lerp(col):
+        return col[idx] * (1.0 - t) + col[idx + 1] * t
+
+    x = lerp(goals[:, 0])
+    y = lerp(goals[:, 1])
+    th = goals[idx, 2] + t * normalize_angle(goals[idx + 1, 2]
+                                             - goals[idx, 2])
+    v = gamma * lerp(goals[:, 3])
+    a = (gamma * gamma) * lerp(goals[:, 4])
+    delta = lerp(goals[:, 5])
+    return jnp.stack([x, y, th, v, a, delta], axis=-1)
+
+
+def _repair_rounds(rep):
+    """(margin, warm, gamma) per repair round: the escalating margin
+    rounds, then the brake round when enabled."""
+    rounds = [(m, rnd < rep.cold_restart_from, 1.0)
+              for rnd, m in enumerate(rep.margins)]
+    if rep.brake_factor and rep.brake_factor < 1.0 and rep.margins:
+        rounds.append((rep.margins[0], False, float(rep.brake_factor)))
+    return rounds
+
+
 def _repair_ilqr_cfg(cfg: PlannerConfig, warm: bool):
     """Solver config for a repair round: cold rounds tighten the stop
     tolerances to RepairConfig.cold_tol — the tightened problem's total
@@ -158,7 +198,8 @@ def _repair_ilqr_cfg(cfg: PlannerConfig, warm: bool):
     if warm:
         return cfg.ilqr
     return dataclasses.replace(cfg.ilqr, rel_cost_tol=cfg.repair.cold_tol,
-                               abs_cost_tol=cfg.repair.cold_tol)
+                               abs_cost_tol=cfg.repair.cold_tol,
+                               max_iter_num=cfg.repair.cold_max_iter)
 
 
 def repair_width(B: int, max_fraction: float) -> int:
@@ -175,7 +216,7 @@ def repair_width(B: int, max_fraction: float) -> int:
 
 def _repair_batch(scns: Scenario, res: SolveResult, hits, goals_b, starts6,
                   cons, cfg: PlannerConfig, spec, t0=None,
-                  backend: str = "blast"):
+                  backend: str = "blast", eligible=None):
     """Close the safety loop on a batch: gather the near-term-dirty lanes,
     re-solve them warm-started against constraints tightened by
     RepairConfig.margins (escalating rounds), re-check, and replace each
@@ -189,7 +230,14 @@ def _repair_batch(scns: Scenario, res: SolveResult, hits, goals_b, starts6,
     lambda-overflow and planning_node.cc:82-112 executes it unchecked.
 
     t0: per-lane absolute time of knot 0 for the re-check (MPC cycles);
-    None = 0 (one-shot pipeline)."""
+    None = 0 (one-shot pipeline).
+
+    eligible: optional [B] bool — lanes the ladder may attempt. The MPC
+    loop passes ~carry.no_repair so a lane that already failed a full
+    ladder is not re-attempted every cycle (it stays FLAGGED still_dirty
+    each cycle, but the resistant ~0.9% would otherwise re-run the cold
+    round's full iteration budget per cycle for nothing — measured -40%
+    MPC throughput)."""
     from .batch import solve_batch
     from .costs import tighten_constraints
 
@@ -207,18 +255,33 @@ def _repair_batch(scns: Scenario, res: SolveResult, hits, goals_b, starts6,
             lambda s, x, t: _recheck_solution(s, x, cfg, spec, t0=t))(
                 scns_g, xs_g, t0_g)
 
-    def one_round(state, margin, warm):
+    el = (jnp.ones(goals_b.shape[0], bool) if eligible is None
+          else eligible)
+
+    def one_round(state, margin, warm, gamma=1.0):
         res, hits, repaired = state
-        dirty = hits[..., :near].any(-1)
+        dirty = hits[..., :near].any(-1) & el
         # dirty lanes first (stable sort keeps index order) — the same
         # row-gather pattern the compaction cascade uses
-        # (solver_blast.solve_batch_compact)
-        idx = jnp.argsort(~dirty)[:R]
+        # (solver_blast.solve_batch_compact). The static width R is
+        # padded with CYCLIC COPIES of the dirty lanes, not with clean
+        # lanes: a clean padding lane would run the full repair solve
+        # (the cold rounds re-solve from scratch at tight tolerance —
+        # measured ~50-100 iterations each) for an output that is then
+        # discarded, while a duplicated dirty lane solves the identical
+        # problem to the identical result (scatter of equal values), so
+        # the lockstep cost is set by the slowest DIRTY lane only.
+        order = jnp.argsort(~dirty)
+        n_dirty = jnp.maximum(dirty.sum(), 1)
+        idx = order[jnp.arange(R) % n_dirty]
         sel_dirty = dirty[idx]                       # [R]
         g_cons = tighten_constraints(
             jax.tree.map(lambda a: a[idx], cons), margin)
         ws = (res.xs[idx], res.us[idx]) if warm else None
-        res_r = solve_batch(goals_b[idx], starts6[idx], g_cons,
+        g_goals = goals_b[idx]
+        if gamma < 1.0:
+            g_goals = jax.vmap(lambda g: brake_goals(g, gamma))(g_goals)
+        res_r = solve_batch(g_goals, starts6[idx], g_cons,
                             _repair_ilqr_cfg(cfg, warm), cfg.vehicle,
                             cfg.delta_t, warm_start=ws, backend=backend)
         g_scns = jax.tree.map(lambda a: a[idx], scns)
@@ -226,6 +289,21 @@ def _repair_batch(scns: Scenario, res: SolveResult, hits, goals_b, starts6,
         hits_r = recheck_rows(g_scns, res_r.xs, t0_g)
         clean_r = ~hits_r[..., :near].any(-1)
         use = sel_dirty & clean_r & _success(res_r.status)   # [R]
+        # re-evaluate the repaired trajectory's cost breakdown under the
+        # PRODUCTION constraints: the repair solve's own cost is measured
+        # against the tightened problem (barrier-dominated, a different
+        # scale), which would make aggregate cost stats incomparable
+        # across lanes
+        from .costs import total_cost
+        from .solver import transform_goals
+
+        goals_t = jax.vmap(transform_goals)(goals_b[idx], starts6[idx])
+        cost_orig = jax.vmap(
+            lambda x, u, g, c: total_cost(x, u, g, c, cfg.ilqr,
+                                          cfg.vehicle))(
+            res_r.xs, res_r.us, goals_t,
+            jax.tree.map(lambda a: a[idx], cons))
+        res_r = res_r.replace(cost=cost_orig)
 
         def put(full, part):
             u = use.reshape((R,) + (1,) * (part.ndim - 1))
@@ -235,16 +313,17 @@ def _repair_batch(scns: Scenario, res: SolveResult, hits, goals_b, starts6,
                 repaired | jnp.zeros((B,), bool).at[idx].set(use))
 
     state = (res, hits, jnp.zeros((B,), bool))
-    for rnd, margin in enumerate(rep.margins):
+    for margin, warm, gamma in _repair_rounds(rep):
         # escalation: round 0 warm-starts from the dirty iterate at the
-        # small margin; later rounds COLD-restart (iqr init) at the large
-        # margin to escape bad basins (RepairConfig.margins). Each round
-        # is skipped entirely when no lane is dirty (lax.cond executes
-        # one branch — clean batches / clean MPC cycles pay nothing).
-        warm = rnd < rep.cold_restart_from
+        # small margin; later rounds COLD-restart (iqr init) at the
+        # larger margins to escape bad basins, and the final brake round
+        # re-times the goals to gamma of their speed (RepairConfig).
+        # Each round is skipped entirely when no lane is dirty (lax.cond
+        # executes one branch — clean batches / clean MPC cycles pay
+        # nothing).
         state = jax.lax.cond(
-            state[1][..., :near].any(),
-            lambda s, m=margin, w=warm: one_round(s, m, w),
+            (state[1][..., :near].any(-1) & el).any(),
+            lambda s, m=margin, w=warm, g=gamma: one_round(s, m, w, g),
             lambda s: s, state)
     res, hits, repaired = state
     still_dirty = hits[..., :near].any(-1)
@@ -252,30 +331,40 @@ def _repair_batch(scns: Scenario, res: SolveResult, hits, goals_b, starts6,
 
 
 def _repair_single(scn: Scenario, res: SolveResult, hits, goals,
-                   start_state, cons, cfg: PlannerConfig, spec, t0=0.0):
+                   start_state, cons, cfg: PlannerConfig, spec, t0=0.0,
+                   eligible=None):
     """Single-lane repair (the un-batched analog of _repair_batch): one
     lax.cond — the tightened warm-started re-solve only executes when the
     near-term re-check fired. Returns (res, hits, repaired)."""
     near = NEAR_TERM_KNOTS
+    el = jnp.ones((), bool) if eligible is None else eligible
     state = (res, hits, jnp.zeros((), bool))
-    for rnd, margin in enumerate(cfg.repair.margins):
+    for margin, warm, gamma in _repair_rounds(cfg.repair):
         cons_r = costs_mod.tighten_constraints(cons, margin)
-        warm = rnd < cfg.repair.cold_restart_from
 
-        def do_repair(rh, cons_r=cons_r, warm=warm):
+        def do_repair(rh, cons_r=cons_r, warm=warm, gamma=gamma):
             res0, hits0, rep0 = rh
             ws = (res0.xs, res0.us) if warm else None
-            res_r = solver_mod.solve(goals, start_state, cons_r,
+            g_goals = goals if gamma >= 1.0 else brake_goals(goals, gamma)
+            res_r = solver_mod.solve(g_goals, start_state, cons_r,
                                      _repair_ilqr_cfg(cfg, warm),
                                      cfg.vehicle, cfg.delta_t,
                                      warm_start=ws)
             hits_r = _recheck_solution(scn, res_r.xs, cfg, spec, t0=t0)
             clean = (~hits_r[:near].any()) & _success(res_r.status)
+            # production-scale cost of the repaired trajectory (see the
+            # batched path's note)
+            from .costs import total_cost
+            from .solver import transform_goals as _tg
+
+            res_r = res_r.replace(cost=total_cost(
+                res_r.xs, res_r.us, _tg(goals, start_state), cons,
+                cfg.ilqr, cfg.vehicle))
             res1 = jax.tree.map(lambda a, b: jnp.where(clean, a, b),
                                 res_r, res0)
             return res1, jnp.where(clean, hits_r, hits0), rep0 | clean
 
-        state = jax.lax.cond(state[1][:near].any(), do_repair,
+        state = jax.lax.cond(state[1][:near].any() & el, do_repair,
                              lambda s: s, state)
     return state
 

@@ -52,3 +52,72 @@ def trace(logdir: str):
         yield
     finally:
         jax.profiler.stop_trace()
+
+
+def device_dispatch_times(logdir: str, gap_ms: float = 5.0):
+    """Extract per-dispatch ON-DEVICE execution times from a
+    jax.profiler trace directory (works over the axon tunnel —
+    docs/PERF.md "Kernel-level profile").
+
+    Parses the Chrome-trace JSON(.gz) the profiler writes, keeps the
+    duration events on DEVICE timeline processes (process_name metadata
+    containing 'TPU'/'device', excluding host/python threads), sorts
+    them by timestamp and clusters them at gaps > gap_ms (sequential
+    un-amortized dispatches are separated by the host round-trip, tens
+    of ms on this rig). Returns a list of per-cluster dicts:
+    {'span_ms': last_end - first_start (device wall time of the
+    dispatch, including inter-kernel bubbles), 'busy_ms': sum of kernel
+    durations, 'n_events': count}.
+    """
+    import glob
+    import gzip
+    import json as _json
+    import os
+
+    paths = glob.glob(os.path.join(logdir, "**", "*.trace.json.gz"),
+                      recursive=True)
+    paths += glob.glob(os.path.join(logdir, "**", "*.trace.json"),
+                       recursive=True)
+    events = []
+    for p in paths:
+        op = gzip.open if p.endswith(".gz") else open
+        with op(p, "rt") as f:
+            data = _json.load(f)
+        evs = data.get("traceEvents", [])
+        # device pids via process_name metadata
+        dev_pids = set()
+        for e in evs:
+            if e.get("ph") == "M" and e.get("name") == "process_name":
+                name = str(e.get("args", {}).get("name", ""))
+                low = name.lower()
+                if (("tpu" in low or "device" in low or "/gpu" in low)
+                        and "host" not in low and "python" not in low):
+                    dev_pids.add(e.get("pid"))
+        for e in evs:
+            if (e.get("ph") == "X" and e.get("pid") in dev_pids
+                    and e.get("dur", 0) > 0):
+                events.append((float(e["ts"]), float(e["dur"])))
+    if not events:
+        return []
+    events.sort()
+    gap_us = gap_ms * 1e3
+    clusters = []
+    cur = [events[0]]
+    cur_end = events[0][0] + events[0][1]
+    for ts, dur in events[1:]:
+        if ts - cur_end > gap_us:
+            clusters.append(cur)
+            cur = []
+            cur_end = ts + dur
+        else:
+            cur_end = max(cur_end, ts + dur)
+        cur.append((ts, dur))
+    clusters.append(cur)
+    out = []
+    for cl in clusters:
+        start = min(ts for ts, _ in cl)
+        end = max(ts + dur for ts, dur in cl)
+        out.append({"span_ms": (end - start) / 1e3,
+                    "busy_ms": sum(d for _, d in cl) / 1e3,
+                    "n_events": len(cl)})
+    return out

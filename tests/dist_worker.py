@@ -96,6 +96,30 @@ def main():
         barrier("pipeline_post_compile")
         out, stats = compiled(g_scns, g_starts)
         jax.block_until_ready(stats)
+
+        # the deployment loop across the SAME 2-process mesh: one warm
+        # MPC replan cycle (corridor rebuild at shifted times, warm
+        # solve, re-check + repair) seeded from the pipeline's plans
+        # (dist.sharded_mpc_step); its psum'd safety stats ride the
+        # same STATS line with an mpc_ prefix
+        from cilqr_tpu import mpc
+        from cilqr_tpu.dist import sharded_mpc_step
+
+        mstep = sharded_mpc_step(cfg, mesh, lane, n_cycles=1,
+                                 road_spec=spec)
+        # cycle_time must be a GLOBAL array like the pipeline outputs it
+        # rides with (process-local jnp.zeros cannot address a
+        # cross-process mesh)
+        (g_ct,) = global_batch(
+            mesh, (np.zeros(hi - lo, np.float64),))
+        carry = mpc.MpcCarry(xs=out.solve.xs, us=out.solve.us,
+                             cycle_time=g_ct)
+        mcompiled = mstep.lower(g_scns, carry).compile()
+        barrier("mpc_post_compile")
+        _, mstats = mcompiled(g_scns, carry)
+        jax.block_until_ready(mstats)
+        stats = dict(stats)
+        stats.update({f"mpc_{k}": v for k, v in mstats.items()})
     else:
         from __graft_entry__ import _synthetic_problem
 

@@ -140,7 +140,9 @@ def test_two_process_distributed_pipeline_matches_single_process():
     # sensitivity"; cf. test_batch_dist's 2-lane allowance). Bound the
     # aggregate drift rather than pinning bitwise sums (scaled from the
     # B=8 test's 30-iteration allowance).
-    assert abs(stats["iters_sum"] - want["iters_sum"]) <= 150, (
+    # a width-forked REPAIRED lane also swings the sum by its repair
+    # solve's iterations (cold rounds run ~80, pipeline._repair_batch)
+    assert abs(stats["iters_sum"] - want["iters_sum"]) <= 300, (
         stats["iters_sum"], want["iters_sum"])
     # cost_sum is a 64-lane aggregate: each width-forked chaotic lane can
     # move its own cost by ~+-20% (~0.3% of the sum), and a handful fork
@@ -149,3 +151,23 @@ def test_two_process_distributed_pipeline_matches_single_process():
     # shard, wrong corridor times) still blows it by an order.
     np.testing.assert_allclose(stats["cost_sum"], want["cost_sum"],
                                rtol=5e-2)
+
+    # the deployment loop across the same 2-process mesh (round 5): one
+    # warm MPC replan cycle ran under shard_map seeded from the
+    # pipeline's plans — every cycle converged against freshly-built
+    # corridors, no lane-window clips, and the executed-horizon repair
+    # accounting holds (dist.sharded_mpc_step)
+    assert stats["mpc_cycles"] == B
+    # warm cycles whose shifted plan is already optimal exit via lambda
+    # overflow (the reference's kUnsolved-but-emit path, measured 6/64 at
+    # f64 — see dist.sharded_mpc_step); every cycle must be one or the
+    # other, with the lambda exits a bounded minority
+    assert (stats["mpc_converged_cycles"]
+            + stats["mpc_lambda_fail_cycles"]) == B, stats
+    assert stats["mpc_lambda_fail_cycles"] <= 10, stats
+    assert stats["mpc_corridor_ok_cycles"] == B
+    assert stats["mpc_lane_clipped"] == 0
+    assert stats["mpc_near_hit_cycles"] <= 3, stats
+    assert (stats["mpc_repaired_cycles"] + stats["mpc_still_dirty_cycles"]
+            >= stats["mpc_near_hit_cycles"]), stats
+    assert stats["mpc_still_dirty_cycles"] <= 1, stats

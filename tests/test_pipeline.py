@@ -94,3 +94,62 @@ def test_solve_hits_flags_a_planted_collision():
     xs[40:45, 1] = cy
     hits2 = np.asarray(_recheck_solution(scn, jnp.asarray(xs), cfg, spec))
     assert hits2[40:45].all(), hits2[40:45]
+
+
+def test_tighten_constraints_exact_boundary_shift():
+    """costs.tighten_constraints moves every half-plane boundary inward
+    by exactly `margin` metres regardless of the plane's normalization
+    (the repair solve's corrective transform)."""
+    from cilqr_tpu import costs as C
+
+    rng = np.random.default_rng(3)
+    planes = rng.normal(size=(5, 4, 3))
+    cons = C.ConstraintSet(
+        corridor_planes=jnp.asarray(planes), corridor_mask=jnp.ones((5, 4),
+                                                                    bool),
+        left_planes=jnp.asarray(planes[0]), left_segs=jnp.zeros((4, 2, 2)),
+        left_mask=jnp.ones(4, bool), right_planes=jnp.asarray(planes[1]),
+        right_segs=jnp.zeros((4, 2, 2)), right_mask=jnp.ones(4, bool))
+    m = 0.7
+    t = C.tighten_constraints(cons, m)
+    for old, new in ((cons.corridor_planes, t.corridor_planes),
+                     (cons.left_planes, t.left_planes),
+                     (cons.right_planes, t.right_planes)):
+        old = np.asarray(old)
+        new = np.asarray(new)
+        # boundary offset along the normal = c / |(a,b)| shrinks by m
+        ab = np.hypot(old[..., 0], old[..., 1])
+        np.testing.assert_allclose(old[..., 2] / ab - new[..., 2] / ab, m,
+                                   atol=1e-12)
+        np.testing.assert_array_equal(old[..., :2], new[..., :2])
+
+
+def test_repair_noop_on_clean_batch():
+    """With every lane's near-term horizon clean, the repair pass must
+    change NOTHING (the lax.cond skips every round) — outputs equal the
+    repair-disabled pipeline bitwise."""
+    import dataclasses
+
+    cfg = PlannerConfig()
+    cfg_off = cfg.replace(repair=dataclasses.replace(cfg.repair,
+                                                     enabled=False))
+    seeds = [0, 1, 2, 3]   # measured clean chunk (gate F: chunk 0 has
+    # no dirty lanes under the f64/f32 pipelines)
+    scns = SC.make_scenario_batch(seeds, dtype=jnp.float64)
+    scn0 = jax.tree.map(lambda a: a[0], scns)
+    lane = P.make_lane_tuple(scn0.left_barrier_xy, scn0.right_barrier_xy,
+                             CFG)
+    spec = SC.analytic_road_spec()
+    starts = jnp.tile(jnp.asarray([0.0, 0.0, 0.0, 10.0], jnp.float64),
+                      (4, 1))
+    o_on = P.plan_batch(scns, starts, cfg, None, lane, spec=spec)
+    o_off = P.plan_batch(scns, starts, cfg_off, None, lane, spec=spec)
+    assert not bool(np.asarray(o_on.pre_hits)[:, :25].any())
+    assert not bool(np.asarray(o_on.repaired).any())
+    assert not bool(np.asarray(o_on.still_dirty).any())
+    np.testing.assert_array_equal(np.asarray(o_on.solve.us),
+                                  np.asarray(o_off.solve.us))
+    np.testing.assert_array_equal(np.asarray(o_on.solve.status),
+                                  np.asarray(o_off.solve.status))
+    np.testing.assert_array_equal(np.asarray(o_on.solve_hits),
+                                  np.asarray(o_off.solve_hits))
