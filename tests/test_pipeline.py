@@ -124,6 +124,41 @@ def test_tighten_constraints_exact_boundary_shift():
         np.testing.assert_array_equal(old[..., :2], new[..., :2])
 
 
+def test_brake_goals_retimes_along_path():
+    """pipeline.brake_goals: gamma-slower traversal of the SAME path —
+    positions stay on the original polyline at gamma-scaled arc length,
+    velocities scale by gamma, accelerations by gamma^2 (the repair
+    brake round's transform, RepairConfig.brake_factor)."""
+    from cilqr_tpu.pipeline import brake_goals
+
+    t = np.arange(81) * 0.1
+    g = np.zeros((81, 6))
+    # curved path: quarter-ish arc with varying speed profile
+    g[:, 0] = 30 * np.sin(0.3 * t)
+    g[:, 1] = 30 * (1 - np.cos(0.3 * t))
+    g[:, 2] = 0.3 * t
+    g[:, 3] = 9.0 - 0.02 * np.arange(81)
+    g[:, 4] = -0.2
+    b = np.asarray(brake_goals(jnp.asarray(g), 0.6))
+    # same start
+    np.testing.assert_allclose(b[0], g[0], atol=1e-12)
+    # arc length covered scales by gamma
+    def arc(p):
+        return np.hypot(np.diff(p[:, 0]), np.diff(p[:, 1])).sum()
+    np.testing.assert_allclose(arc(b), 0.6 * arc(g), rtol=1e-6)
+    # every braked knot lies ON the original polyline (distance to the
+    # nearest original segment ~ 0)
+    from cilqr_tpu.geometry import point_segment_distance
+    d = point_segment_distance(
+        jnp.asarray(b[:, 0:1]), jnp.asarray(b[:, 1:2]),
+        jnp.asarray(g[:-1, 0][None]), jnp.asarray(g[:-1, 1][None]),
+        jnp.asarray(g[1:, 0][None]), jnp.asarray(g[1:, 1][None]))
+    assert float(jnp.min(d, axis=1).max()) < 1e-9
+    # kinematic scaling (velocity at the retimed station, x gamma)
+    assert abs(float(b[0, 3]) - 0.6 * float(g[0, 3])) < 1e-9
+    np.testing.assert_allclose(b[:, 4], 0.36 * -0.2, atol=1e-9)
+
+
 def test_repair_noop_on_clean_batch():
     """With every lane's near-term horizon clean, the repair pass must
     change NOTHING (the lax.cond skips every round) — outputs equal the
